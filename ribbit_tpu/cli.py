@@ -1,0 +1,103 @@
+"""Command-line interface, flag-compatible with the reference ribbit binary.
+
+    ribbit-tpu -i genome.fa -o out.bed [-m 2] [-M 100]
+               [-l <int|tsv>] [--min-units <int|tsv>] [--perfect-units <int|tsv>]
+
+Compat notes (ribbit.cpp:82-204):
+  * -p/--purity is accepted and ignored — the reference declares it but never
+    applies it; the threshold is hard-wired 0.85
+  * with no -o the reference writes results to stderr; we default to stdout
+    and provide --stderr-output for bit-compat piping
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .config import RibbitConfig
+from .fasta import read_fasta
+from .pipeline import process_sequence
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ribbit-tpu",
+        description="TPU-native tandem repeat detection "
+                    "(ribbit-compatible output)")
+    p.add_argument("-i", "--input-file", required=True,
+                   help="input FASTA file")
+    p.add_argument("-o", "--output-file", default=None,
+                   help="output BED file (default stdout)")
+    p.add_argument("-m", "--min-motif-length", type=int, default=2)
+    p.add_argument("-M", "--max-motif-length", type=int, default=100)
+    p.add_argument("-p", "--purity", type=float, default=None,
+                   help="accepted for compatibility; ignored like the "
+                        "reference (hard-wired 0.85)")
+    p.add_argument("-l", "--min-length", default=None,
+                   help="minimum repeat length: integer or TSV "
+                        "(motif_size<TAB>cutoff)")
+    p.add_argument("--min-units", default=None,
+                   help="minimum repeat units: integer or TSV")
+    p.add_argument("--perfect-units", default=None,
+                   help="minimum perfect units: integer or TSV")
+    p.add_argument("--backend", choices=["host", "tpu"], default="host",
+                   help="scan backend (default host numpy; tpu uses "
+                        "JAX/Pallas kernels)")
+    p.add_argument("--stderr-output", action="store_true",
+                   help="mirror the reference quirk of writing results to "
+                        "stderr when no -o is given")
+    return p
+
+
+def _maybe_int(v):
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return v  # treat as TSV path
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    cfg = RibbitConfig.create(
+        min_motif=args.min_motif_length,
+        max_motif=args.max_motif_length,
+        min_length=_maybe_int(args.min_length),
+        min_units=_maybe_int(args.min_units),
+        perfect_units=_maybe_int(args.perfect_units),
+    )
+
+    if args.output_file:
+        out = open(args.output_file, "w")
+    elif args.stderr_output:
+        out = sys.stderr
+    else:
+        out = sys.stdout
+
+    print(f"Minimum motif:\t{cfg.min_motif}", file=sys.stderr)
+    print(f"Maximum motif:\t{cfg.max_motif}", file=sys.stderr)
+    print("Purity threshold: 0.85", file=sys.stderr)
+
+    t0 = time.time()
+    total = 0
+    for name, seq in read_fasta(args.input_file):
+        print(f"Processing sequence {name}", file=sys.stderr)
+        lines = process_sequence(name, seq, cfg, scan_backend=args.backend)
+        for line in lines:
+            out.write(line + "\n")
+        total += len(seq)
+    elapsed = time.time() - t0
+    print(f"Done: {total} bp in {elapsed:.2f}s "
+          f"({total / max(elapsed, 1e-9) / 1e6:.3f} Mbp/s)", file=sys.stderr)
+
+    if args.output_file:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
