@@ -95,10 +95,116 @@ def most_frequent_motif(code: np.ndarray, seed_start: int,
 def most_frequent_longer_motif(code: np.ndarray, n_mask: np.ndarray,
                                seed_start: int, seed_sequence_length: int,
                                motif_length: int, sequence_length: int) -> int:
-    """mostFrequentLongerMotif (parse_seed.cpp:153-256): greedy diagonal
-    voting with ±2 bp jitter per unit, downstream then upstream, plus a
-    partial-prefix vote.  The dot matrix (*MATRIX[row])[col] is
-    (code[row]==code[col]) with N columns matching nothing."""
+    """mostFrequentLongerMotif (parse_seed.cpp:153-256), vectorized.
+
+    Greedy diagonal voting with ±2 bp jitter per unit: every candidate row
+    start walks downstream then upstream in ~m-sized jumps, choosing the
+    jitter with the highest m-length match count at each step, plus a
+    partial-prefix vote when the upstream walk overshoots the seed start.
+    All row starts walk in lockstep as numpy batches; per greedy step each
+    jitter is one [R, m] gather-compare.  The dot matrix (*MATRIX[row])[col]
+    is (code[row]==code[col]) with N *columns* matching nothing.  Exactness
+    notes vs the scalar loops:
+      - inner i-loops break at the first invalid column; columns are monotone
+        in i, so the break equals a contiguous validity mask
+      - jitter tie-break: strict '>' scanning x = -2..2, zero counts never
+        displace the initial x = -2 — replicated by the masked update order
+      - row tie-break: strict '>' over ascending rows == np.argmax; an
+        all-zero vote leaves mmotif_index at 0 (start of the *sequence*, a
+        reference quirk)
+    Cross-checked against _most_frequent_longer_motif_scalar in tests."""
+    seed_end = seed_start + seed_sequence_length
+    m = motif_length
+    Lc = code.shape[0]
+    ar_m = np.arange(m, dtype=np.int64)
+
+    nrows = seed_end - m + 1 - seed_start
+    if nrows <= 0:
+        mmotif_index = 0
+    else:
+        rows = np.arange(seed_start, seed_end - m + 1, dtype=np.int64)
+        row_codes = code[rows[:, None] + ar_m]          # [R, m]
+        R = rows.shape[0]
+        row_count = np.zeros(R, dtype=np.int64)
+
+        def jitter_vote(col0: np.ndarray, active: np.ndarray, valid_of):
+            """One greedy step for all rows: scan x = -2..2, return the
+            winning (count, jitter) per row under strict-> update order."""
+            best_cnt = np.zeros(R, dtype=np.int64)
+            best_x = np.full(R, -2, dtype=np.int64)
+            for x in (-2, -1, 0, 1, 2):
+                cols = (col0 + x)[:, None] + ar_m       # [R, m]
+                valid = valid_of(cols)
+                colsc = np.clip(cols, 0, Lc - 1)
+                eq = (row_codes == code[colsc]) & ~n_mask[colsc] & valid
+                cnt = eq.sum(axis=1)
+                upd = active & (cnt > best_cnt)
+                best_cnt[upd] = cnt[upd]
+                best_x[upd] = x
+            return best_cnt, best_x
+
+        # downstream walk: columns increase with i; invalid (>= seed_end) is
+        # a suffix, equal to the scalar break (parse_seed.cpp:163-181)
+        dstream = rows + m
+        active = dstream < seed_end
+        while active.any():
+            best_cnt, best_x = jitter_vote(
+                dstream, active, lambda cols: cols < seed_end)
+            row_count[active] += best_cnt[active]
+            dstream[active] += best_x[active] + m
+            active &= dstream < seed_end
+
+        # upstream walk: the scalar breaks at i where col < 0; columns
+        # increase with i so that is only possible at i == 0 → a row whose
+        # c0 < 0 scores 0 for that jitter (parse_seed.cpp:184-202)
+        ustream = rows - m
+        active = ustream > seed_start
+        while active.any():
+            best_cnt, best_x = jitter_vote(
+                ustream, active, lambda cols: cols[:, :1] >= 0)
+            row_count[active] += best_cnt[active]
+            ustream[active] += best_x[active] - m
+            active &= ustream > seed_start
+
+        # partial-prefix vote (parse_seed.cpp:205-233): columns *decrease*
+        # with i; col >= seed_end only possible at i == 0, col < seed_start
+        # invalidates a suffix
+        pf = (ustream < seed_start) & (seed_start - ustream < m)
+        if pf.any():
+            initial_lastrow = rows + m - 1
+            pcindex = ustream + m - 1
+            prefix_rows = m + (ustream - seed_start)
+            best_cnt = np.zeros(R, dtype=np.int64)
+            for x in (-2, -1, 0, 1, 2):
+                cols = (pcindex + x)[:, None] - ar_m    # [R, m] decreasing
+                rws = initial_lastrow[:, None] - ar_m
+                valid = ((ar_m[None, :] < prefix_rows[:, None])
+                         & (cols[:, :1] < seed_end)
+                         & (cols >= seed_start))
+                colsc = np.clip(cols, 0, Lc - 1)
+                rwsc = np.clip(rws, 0, Lc - 1)
+                eq = (code[rwsc] == code[colsc]) & ~n_mask[colsc] & valid
+                cnt = eq.sum(axis=1)
+                upd = pf & (cnt > best_cnt)
+                best_cnt[upd] = cnt[upd]
+            row_count[pf] += best_cnt[pf]
+
+        if row_count.max() > 0:
+            mmotif_index = int(rows[int(np.argmax(row_count))])
+        else:
+            mmotif_index = 0
+
+    motif_unit = 0
+    for c in code[mmotif_index:mmotif_index + m].tolist():
+        motif_unit = (motif_unit << 2) | int(c)
+    return motif_unit
+
+
+def _most_frequent_longer_motif_scalar(code: np.ndarray, n_mask: np.ndarray,
+                                       seed_start: int, seed_sequence_length: int,
+                                       motif_length: int, sequence_length: int) -> int:
+    """Direct scalar port of mostFrequentLongerMotif (parse_seed.cpp:153-256);
+    kept as the cross-check oracle for the vectorized version above."""
     seed_end = seed_start + seed_sequence_length
     m = motif_length
 
