@@ -1,0 +1,74 @@
+"""End-to-end throughput benchmark.
+
+Runs the full pipeline (FASTA -> BED) on a seeded simulated genome and
+reports Mbp/s.  Baseline is the reference ribbit binary (single-core C++)
+timed on the same input in the same process environment; vs_baseline is the
+throughput ratio (ours / reference).  Prints ONE JSON line.
+
+Env knobs:
+  RIBBIT_BENCH_LOCI     locus count for the simulated genome (default 60)
+  RIBBIT_BENCH_BACKEND  'host' | 'tpu' scan backend (default host)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ribbit_tpu.config import RibbitConfig
+from ribbit_tpu.pipeline import process_sequence
+from ribbit_tpu.sim import simulate
+
+
+def main() -> None:
+    loci = int(os.environ.get("RIBBIT_BENCH_LOCI", "60"))
+    backend = os.environ.get("RIBBIT_BENCH_BACKEND", "host")
+
+    sim = simulate(num_loci=loci, seed=42, name="bench")
+    fa = "/tmp/ribbit_bench.fa"
+    sim.to_fasta(fa)
+    mbp = len(sim.sequence) / 1e6
+
+    # --- ours ---
+    cfg = RibbitConfig.create()
+    lines: list[str] = []
+    t0 = time.perf_counter()
+    process_sequence("bench", sim.sequence, cfg, out=lines,
+                     scan_backend=backend)
+    ours_s = time.perf_counter() - t0
+    ours_mbps = mbp / ours_s
+
+    # --- reference baseline (single-core C++ oracle) ---
+    oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "oracle", "ribbit_oracle")
+    vs_baseline = None
+    if not os.path.exists(oracle):
+        subprocess.run(["bash", os.path.join(os.path.dirname(oracle),
+                                             "build.sh")],
+                       capture_output=True)
+    if os.path.exists(oracle):
+        t0 = time.perf_counter()
+        res = subprocess.run([oracle, "-i", fa, "-o", "/tmp/ribbit_bench_ref.bed"],
+                             capture_output=True)
+        ref_s = time.perf_counter() - t0
+        if res.returncode == 0:
+            vs_baseline = round((mbp / ours_s) / (mbp / ref_s), 4)
+            # sanity: outputs must match or the speed is meaningless
+            ref = sorted(open("/tmp/ribbit_bench_ref.bed").read().splitlines())
+            if sorted(lines) != ref:
+                print(json.dumps({"metric": "e2e_throughput", "value": 0.0,
+                                  "unit": "Mbp/s", "vs_baseline": 0.0,
+                                  "error": "parity_mismatch"}))
+                return
+
+    print(json.dumps({"metric": "e2e_throughput",
+                      "value": round(ours_mbps, 4),
+                      "unit": "Mbp/s",
+                      "vs_baseline": vs_baseline}))
+
+
+if __name__ == "__main__":
+    main()
