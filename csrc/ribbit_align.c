@@ -1,0 +1,348 @@
+/* Native alignment engine for ribbit_tpu seed refinement.
+ *
+ * Scalar C implementation of the exact alignment semantics specified by
+ * ribbit_tpu/align.py (the validated Python port of the vendored SSW used by
+ * the reference: forward/reverse local-alignment passes, banded affine-gap
+ * DP with doubling band width and 3-plane direction tape, soft clips, and
+ * '='/'X' mismatch splitting).  align.py is the semantics spec; this file
+ * re-implements it for speed and is cross-checked against it in tests.
+ *
+ * Scoring: match 2, mismatch -2 (N scores -2 vs everything), gapO 3, gapE 1.
+ * H is clamped at 32767 (word-mode saturation).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdio.h>
+
+#define GAP_O 3
+#define GAP_E 1
+#define WORD_MAX 32767
+
+static inline int32_t score(int8_t a, int8_t b) {
+    return (a == b && a < 4) ? 2 : -2;
+}
+
+static inline int32_t max32(int32_t a, int32_t b) { return a > b ? a : b; }
+static inline int64_t max64(int64_t a, int64_t b) { return a > b ? a : b; }
+
+/* One local-alignment scan over ref columns (align.py:_forward_pass).
+ * H/E are int32[R] workspaces; best_col receives the H column of the best
+ * ref position.  terminate >= 0: stop after the first column whose max
+ * equals terminate.  Returns best score; *end_ref gets the column index. */
+static int32_t forward_pass(const int8_t *read, int32_t R,
+                            const int8_t *ref, int32_t C,
+                            int32_t terminate,
+                            int32_t *H, int32_t *E, int32_t *best_col,
+                            int32_t *end_ref) {
+    memset(H, 0, (size_t)R * sizeof(int32_t));
+    memset(E, 0, (size_t)R * sizeof(int32_t));
+    memset(best_col, 0, (size_t)R * sizeof(int32_t));
+    int32_t best = 0;
+    *end_ref = -1;
+
+    for (int32_t i = 0; i < C; i++) {
+        int32_t diag_base = 0;      /* H_prev[j-1]; 0 for j == 0 */
+        int32_t colmax = 0;
+        int64_t Pmax = INT64_MIN;   /* max over k<j of (h0[k] + k*GAP_E) */
+        for (int32_t j = 0; j < R; j++) {
+            int32_t h_old = H[j];
+            int32_t diag = diag_base + score(ref[i], read[j]);
+            if (diag > WORD_MAX) diag = WORD_MAX;
+            diag_base = h_old;
+
+            int32_t h0 = max32(max32(diag, E[j]), 0);
+            int32_t F;
+            if (j == 0) F = 0;
+            else {
+                int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
+                F = f > 0 ? (int32_t)f : 0;
+            }
+            int32_t Hn = max32(h0, F);
+            E[j] = max32(max32(E[j] - GAP_E, Hn - GAP_O), 0);
+            H[j] = Hn;
+            Pmax = max64(Pmax, (int64_t)h0 + (int64_t)j * GAP_E);
+            if (Hn > colmax) colmax = Hn;
+        }
+        if (colmax > best) {
+            best = colmax;
+            *end_ref = i;
+            memcpy(best_col, H, (size_t)R * sizeof(int32_t));
+        }
+        if (terminate >= 0 && colmax == terminate) break;
+    }
+    return best;
+}
+
+/* Banded affine-gap DP with doubling band width (align.py:banded_sw).
+ * Emits run-length ops into (ops_len, ops_ch); returns op count, or -1 on
+ * traceback error (caller emits an empty cigar, matching the spec). */
+static int32_t banded_sw(const int8_t *ref, int32_t refLen,
+                         const int8_t *read, int32_t readLen,
+                         int32_t target_score, int32_t band_width,
+                         int32_t *ops_len, char *ops_ch, int32_t ops_cap) {
+    int32_t length = refLen > readLen ? refLen : readLen;
+    int64_t best = 0;           /* accumulates across band iterations */
+    int8_t *dirs = NULL;
+    int64_t *h_b = NULL, *e_b = NULL, *h_c = NULL;
+    int32_t w = band_width;
+
+    for (;;) {
+        w = band_width;
+        int32_t width = w * 2 + 3;
+        int32_t width_d = w * 2 + 1;
+
+        dirs = (int8_t *)realloc(dirs, (size_t)readLen * width_d * 3);
+        memset(dirs, 0, (size_t)readLen * width_d * 3);
+        h_b = (int64_t *)realloc(h_b, (size_t)width * sizeof(int64_t));
+        e_b = (int64_t *)realloc(e_b, (size_t)width * sizeof(int64_t));
+        h_c = (int64_t *)realloc(h_c, (size_t)width * sizeof(int64_t));
+        memset(h_b, 0, (size_t)width * sizeof(int64_t));
+        memset(e_b, 0, (size_t)width * sizeof(int64_t));
+        memset(h_c, 0, (size_t)width * sizeof(int64_t));
+
+        for (int32_t i = 0; i < readLen; i++) {
+            int32_t beg = i - w > 0 ? i - w : 0;
+            int32_t end = i + w < refLen - 1 ? i + w : refLen - 1;
+            int32_t edge = end + 1 < width - 1 ? end + 1 : width - 1;
+            h_b[0] = e_b[0] = 0;
+            h_b[edge] = e_b[edge] = 0;
+            int32_t off_i = i - w > 0 ? i - w : 0;
+            int32_t off_im1 = i - 1 - w > 0 ? i - 1 - w : 0;
+
+            int64_t fp = 0, hcp = 0;   /* f[j-1], h_c[j-1]; 0 at row start */
+            int8_t *dl = dirs + (size_t)i * width_d * 3;
+            for (int32_t j = beg; j <= end; j++) {
+                int32_t u = j - off_i + 1;
+                int32_t ec = j - off_im1 + 1;
+                int32_t dc = j - 1 - off_im1 + 1;
+
+                int64_t t1, t2;
+                if (i == 0) { t1 = -GAP_O; t2 = -GAP_E; }
+                else { t1 = h_b[ec] - GAP_O; t2 = e_b[ec] - GAP_E; }
+                int64_t e_new = max64(t1, t2);
+                int8_t de = t1 > t2 ? 3 : 2;
+
+                int64_t diag = h_b[dc] + score(ref[j], read[i]);
+                int64_t e1 = max64(e_new, 0);
+
+                int64_t f = max64(fp - GAP_E, hcp - GAP_O);
+                int8_t df = (hcp - GAP_O > fp - GAP_E) ? 5 : 4;
+                int64_t f1 = max64(f, 0);
+                int64_t tmp1 = max64(e1, f1);
+                int64_t hc = max64(tmp1, diag);
+                if (hc > best) best = hc;
+
+                int8_t dh = (tmp1 <= diag) ? 1 : (e1 > f1 ? de : df);
+                int32_t dcol = j - off_i;
+                dl[dcol * 3 + 0] = de;
+                dl[dcol * 3 + 1] = df;
+                dl[dcol * 3 + 2] = dh;
+
+                /* carry previous-column values; write back band cells.
+                 * e_b[u]/h_... writes land after this column's reads of the
+                 * (i-1)-row cells because u < ec for all rows (u == ec - 1
+                 * when offsets differ, u == ec when equal but the read
+                 * happened above). h_b writeback is deferred via h_c. */
+                e_b[u] = e_new;
+                h_c[u] = hc;
+                fp = f;
+                hcp = hc;
+            }
+            /* copy the row's band slice into h_b (align.py writes h_b[u]) */
+            for (int32_t j = beg; j <= end; j++) {
+                int32_t u = j - off_i + 1;
+                h_b[u] = h_c[u];
+            }
+        }
+        band_width *= 2;
+        if (!(best < target_score && band_width <= length)) {
+            band_width /= 2;
+            break;
+        }
+    }
+
+    /* traceback (align.py:273-320) */
+    w = band_width;
+    int32_t width_d = w * 2 + 1;
+    int32_t i = readLen - 1, j = refLen - 1;
+    int32_t e = 0, nops = 0;
+    char op = 'M', prev_op = 'M';
+    int32_t plane = 2;
+    int32_t err = 0;
+    while (i >= 0 && j > 0) {
+        int32_t off = i - w > 0 ? i - w : 0;
+        int32_t dcol = j - off;
+        int8_t d = dirs[((size_t)i * width_d + dcol) * 3 + plane];
+        switch (d) {
+            case 1: i--; j--; plane = 2; op = 'M'; break;
+            case 2: i--; plane = 0; op = 'I'; break;
+            case 3: i--; plane = 2; op = 'I'; break;
+            case 4: j--; plane = 1; op = 'D'; break;
+            case 5: j--; plane = 2; op = 'D'; break;
+            default: err = 1; break;
+        }
+        if (err) break;
+        if (op == prev_op) e++;
+        else {
+            if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = prev_op; nops++; }
+            prev_op = op;
+            e = 1;
+        }
+    }
+    if (!err) {
+        if (op == 'M') {
+            if (nops < ops_cap) { ops_len[nops] = e + 1; ops_ch[nops] = op; nops++; }
+        } else {
+            if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = op; nops++; }
+            if (nops < ops_cap) { ops_len[nops] = 1; ops_ch[nops] = 'M'; nops++; }
+        }
+        /* reverse */
+        for (int32_t a = 0, b = nops - 1; a < b; a++, b--) {
+            int32_t tl = ops_len[a]; ops_len[a] = ops_len[b]; ops_len[b] = tl;
+            char tc = ops_ch[a]; ops_ch[a] = ops_ch[b]; ops_ch[b] = tc;
+        }
+    }
+    free(dirs); free(h_b); free(e_b); free(h_c);
+    return err ? -1 : nops;
+}
+
+static int32_t emit_num(char *buf, int32_t pos, int32_t cap, int32_t v, char op) {
+    char tmp[16];
+    int n = snprintf(tmp, sizeof tmp, "%d%c", v, op);
+    if (pos + n >= cap) return -1;
+    memcpy(buf + pos, tmp, (size_t)n);
+    return pos + n;
+}
+
+/* Full Align(): returns 0 ok, 1 no-positive-cell (empty cigar), -1 error.
+ * out[0..5] = sw_score, ref_begin, ref_end, query_begin, query_end,
+ * mismatches.  cigar_buf gets the NUL-terminated cigar string. */
+int ribbit_align(const int8_t *read, int32_t R,
+                 const int8_t *ref, int32_t C,
+                 int32_t *out, char *cigar_buf, int32_t cigar_cap) {
+    cigar_buf[0] = 0;
+    memset(out, 0, 6 * sizeof(int32_t));
+    if (R == 0 || C == 0) return -1;
+
+    int32_t *H = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+    int32_t *E = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+    int32_t *bc = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+
+    int32_t end_ref;
+    int32_t score1 = forward_pass(read, R, ref, C, -1, H, E, bc, &end_ref);
+    if (end_ref < 0) {
+        out[0] = 0; out[2] = -1; out[4] = R - 1;
+        free(H); free(E); free(bc);
+        return 1;
+    }
+    int32_t end_read = -1;
+    for (int32_t j = 0; j < R; j++) if (bc[j] == score1) { end_read = j; break; }
+
+    out[0] = score1;
+    out[2] = end_ref;
+    out[4] = end_read;
+
+    /* reverse pass on reversed prefixes, early-terminating at score1 */
+    int32_t Rr = end_read + 1, Cr = end_ref + 1;
+    int8_t *read_rev = (int8_t *)malloc((size_t)Rr);
+    int8_t *ref_rev = (int8_t *)malloc((size_t)Cr);
+    for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
+    for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
+    int32_t end_ref_rev;
+    forward_pass(read_rev, Rr, ref_rev, Cr, score1, H, E, bc, &end_ref_rev);
+    int32_t ref_begin = end_ref - end_ref_rev;
+    int32_t rev_read_idx = -1;
+    for (int32_t j = 0; j < Rr; j++) if (bc[j] == score1) { rev_read_idx = j; break; }
+    int32_t query_begin = end_read - rev_read_idx;
+    out[1] = ref_begin;
+    out[3] = query_begin;
+    free(read_rev); free(ref_rev);
+
+    /* banded traceback on the located subsequences */
+    int32_t sub_ref_len = end_ref - ref_begin + 1;
+    int32_t sub_read_len = end_read - query_begin + 1;
+    int32_t bw = sub_ref_len - sub_read_len;
+    if (bw < 0) bw = -bw;
+    bw += 1;
+    int32_t ops_cap = 2 * (sub_ref_len + sub_read_len) + 8;
+    int32_t *ops_len = (int32_t *)malloc((size_t)ops_cap * sizeof(int32_t));
+    char *ops_ch = (char *)malloc((size_t)ops_cap);
+    int32_t nops = banded_sw(ref + ref_begin, sub_ref_len,
+                             read + query_begin, sub_read_len,
+                             score1, bw, ops_len, ops_ch, ops_cap);
+    free(H); free(E); free(bc);
+    if (nops < 0) { free(ops_len); free(ops_ch); return 0; /* empty cigar */ }
+
+    /* mark mismatches + soft clips (align.py:_mark_mismatch) */
+    int32_t pos = 0, mism = 0;
+    if (query_begin > 0) {
+        pos = emit_num(cigar_buf, pos, cigar_cap, query_begin, 'S');
+        if (pos < 0) goto overflow;
+    }
+    {
+        int32_t rp = ref_begin, qp = query_begin;
+        int32_t run_len = 0; char run_op = 0;
+        for (int32_t k = 0; k < nops; k++) {
+            int32_t ln = ops_len[k];
+            char opk = ops_ch[k];
+            if (opk == 'M') {
+                for (int32_t t = 0; t < ln; t++) {
+                    /* spec compares raw translated codes (align.py
+                     * _mark_mismatch): N(4)==N(4) counts as '=' even though
+                     * the score matrix penalizes it */
+                    char ch = (ref[rp] == read[qp]) ? '=' : 'X';
+                    if (ch == 'X') mism++;
+                    if (run_op == ch) run_len++;
+                    else {
+                        if (run_len) {
+                            pos = emit_num(cigar_buf, pos, cigar_cap, run_len, run_op);
+                            if (pos < 0) goto overflow;
+                        }
+                        run_op = ch; run_len = 1;
+                    }
+                    rp++; qp++;
+                }
+            } else if (opk == 'I') {
+                if (run_len) {
+                    pos = emit_num(cigar_buf, pos, cigar_cap, run_len, run_op);
+                    if (pos < 0) goto overflow;
+                    run_len = 0; run_op = 0;
+                }
+                pos = emit_num(cigar_buf, pos, cigar_cap, ln, 'I');
+                if (pos < 0) goto overflow;
+                qp += ln; mism += ln;
+            } else { /* 'D' */
+                if (run_len) {
+                    pos = emit_num(cigar_buf, pos, cigar_cap, run_len, run_op);
+                    if (pos < 0) goto overflow;
+                    run_len = 0; run_op = 0;
+                }
+                pos = emit_num(cigar_buf, pos, cigar_cap, ln, 'D');
+                if (pos < 0) goto overflow;
+                rp += ln; mism += ln;
+            }
+        }
+        if (run_len) {
+            pos = emit_num(cigar_buf, pos, cigar_cap, run_len, run_op);
+            if (pos < 0) goto overflow;
+        }
+    }
+    {
+        int32_t endclip = R - end_read - 1;
+        if (endclip > 0) {
+            pos = emit_num(cigar_buf, pos, cigar_cap, endclip, 'S');
+            if (pos < 0) goto overflow;
+        }
+    }
+    cigar_buf[pos] = 0;
+    out[5] = mism;
+    free(ops_len); free(ops_ch);
+    return 0;
+
+overflow:
+    cigar_buf[0] = 0;
+    free(ops_len); free(ops_ch);
+    return -1;
+}

@@ -375,6 +375,36 @@ def _mark_mismatch(al: Alignment, ref: np.ndarray, read: np.ndarray,
     return "".join(parts), mismatches
 
 
+def _ssw_align_native(read: np.ndarray, ref: np.ndarray, lib) -> Alignment | None:
+    import ctypes
+    out = (ctypes.c_int32 * 6)()
+    cap = 4 * (read.shape[0] + ref.shape[0]) + 64
+    buf = ctypes.create_string_buffer(cap)
+    read = np.ascontiguousarray(read, dtype=np.int8)
+    ref = np.ascontiguousarray(ref, dtype=np.int8)
+    rc = lib.ribbit_align(
+        read.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), read.shape[0],
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), ref.shape[0],
+        out, buf, cap)
+    if rc < 0 and read.shape[0] and ref.shape[0]:
+        # capacity overflow or internal error: fall back to the Python engine
+        return ssw_align(read, ref)
+    if rc < 0:
+        return None
+    al = Alignment(sw_score=out[0], ref_begin=out[1], ref_end=out[2],
+                   query_begin=out[3], query_end=out[4],
+                   cigar_string=buf.value.decode("ascii"), mismatches=out[5])
+    return al
+
+
 def align_strings(query: str, ref: str) -> Alignment | None:
-    """Aligner::Align(query, ref, ref_len, ...) (ssw_cpp.cpp:358-397)."""
-    return ssw_align(translate(query), translate(ref))
+    """Aligner::Align(query, ref, ref_len, ...) (ssw_cpp.cpp:358-397).
+
+    Uses the native C engine (csrc/ribbit_align.c) when available; the
+    numpy implementation above is the semantics spec and fallback."""
+    from .native import get_align_lib
+    read, ref_t = translate(query), translate(ref)
+    lib = get_align_lib()
+    if lib is not None:
+        return _ssw_align_native(read, ref_t, lib)
+    return ssw_align(read, ref_t)

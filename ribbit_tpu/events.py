@@ -17,6 +17,7 @@ data-sparse equivalent of the reference's O(NSHIFTS * L) sweeps:
 
 from __future__ import annotations
 
+import bisect
 from typing import List
 
 import numpy as np
@@ -92,16 +93,18 @@ def _windowed_emissions(qual_channel: np.ndarray, segments: List[tuple[int, int]
 
     # evaluated-window intervals per segment: w in [segA, segB-W]
     wide = [(a, b) for a, b in segments if b - a >= W]
-    eval_lo = np.array([a for a, _ in wide], dtype=np.int64)
-    eval_hi = np.array([b - W for _, b in wide], dtype=np.int64)
-    seg_b = np.array([b for _, b in wide], dtype=np.int64)
+    eval_lo = [a for a, _ in wide]
+    eval_hi = [b - W for _, b in wide]
+    seg_b = [b for _, b in wide]
+    n_wide = len(wide)
 
     def first_eval_after(x: int) -> int:
         """Smallest evaluated window index >= x+1, or a sentinel past the end."""
-        j = np.searchsorted(eval_hi, x + 1)
-        if j >= eval_lo.shape[0]:
+        j = bisect.bisect_left(eval_hi, x + 1)
+        if j >= n_wide:
             return 1 << 60
-        return max(x + 1, int(eval_lo[j]))
+        lo = eval_lo[j]
+        return x + 1 if x + 1 > lo else lo
 
     cur = -1          # current tracked seed start (window index) or -1
     ls = le = -1      # last saved seed [ls, le)
@@ -124,8 +127,8 @@ def _windowed_emissions(qual_channel: np.ndarray, segments: List[tuple[int, int]
         cur = ws
 
         # locate this run's segment to classify the close
-        si = np.searchsorted(eval_hi, we)
-        seg_last_eval = int(eval_hi[si])
+        si = bisect.bisect_left(eval_hi, we)
+        seg_last_eval = eval_hi[si]
         if we < seg_last_eval:
             # closed by an evaluated below-threshold window at we+1
             if ls == -1:
@@ -133,7 +136,7 @@ def _windowed_emissions(qual_channel: np.ndarray, segments: List[tuple[int, int]
             le = we + W            # end = (we+1) + W - 1, exclusive
             cur = -1
         else:
-            segB = int(seg_b[si])
+            segB = seg_b[si]
             if segB < L:
                 # an N at segB: the tracked seed is DROPPED; flush check uses
                 # window_position = segB - (W - 1)

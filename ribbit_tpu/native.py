@@ -1,0 +1,89 @@
+"""ctypes bindings for the native C runtime (csrc/).
+
+The shared object is compiled on demand with the system compiler and cached
+under build/ keyed by a source hash, so `pip install`-style steps aren't
+needed.  Falls back cleanly (returns None) when no compiler is available;
+callers then use the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+_CSRC = _REPO / "csrc"
+_BUILD = _REPO / "build"
+
+_lib = None
+_tried = False
+
+
+def _compile(src: pathlib.Path) -> pathlib.Path | None:
+    code = src.read_bytes()
+    h = hashlib.sha256(code).hexdigest()[:16]
+    out = _BUILD / f"{src.stem}_{h}.so"
+    if out.exists():
+        return out
+    _BUILD.mkdir(exist_ok=True)
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                 str(src), "-o", str(out)],
+                capture_output=True, timeout=120)
+            if r.returncode == 0 and out.exists():
+                return out
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return None
+
+
+def get_align_lib():
+    """Loads (compiling if needed) the native aligner; None if unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("RIBBIT_NO_NATIVE"):
+        return None
+    so = _compile(_CSRC / "ribbit_align.c")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.ribbit_align.restype = ctypes.c_int
+    lib.ribbit_align.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+_vote_lib = None
+_vote_tried = False
+
+
+def get_vote_lib():
+    """Loads the native diagonal-voting kernel; None if unavailable."""
+    global _vote_lib, _vote_tried
+    if _vote_tried:
+        return _vote_lib
+    _vote_tried = True
+    if os.environ.get("RIBBIT_NO_NATIVE"):
+        return None
+    so = _compile(_CSRC / "ribbit_vote.c")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.ribbit_vote_longer.restype = ctypes.c_int32
+    lib.ribbit_vote_longer.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    _vote_lib = lib
+    return _vote_lib

@@ -113,6 +113,20 @@ def most_frequent_longer_motif(code: np.ndarray, n_mask: np.ndarray,
         all-zero vote leaves mmotif_index at 0 (start of the *sequence*, a
         reference quirk)
     Cross-checked against _most_frequent_longer_motif_scalar in tests."""
+    from .native import get_vote_lib
+    lib = get_vote_lib()
+    if lib is not None:
+        import ctypes
+        mm = lib.ribbit_vote_longer(
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            n_mask.view(np.uint8).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            code.shape[0], seed_start, seed_sequence_length, motif_length)
+        unit = 0
+        for c in code[mm:mm + motif_length].tolist():
+            unit = (unit << 2) | int(c)
+        return unit
+
     seed_end = seed_start + seed_sequence_length
     m = motif_length
     Lc = code.shape[0]
