@@ -1,0 +1,1792 @@
+/* ribbit_core: event-driven native core for the ribbit_tpu pipeline.
+ *
+ * Exact-semantics C implementation of the parity-critical sequential layers,
+ * ported from the oracle-validated Python modules (which are themselves
+ * rule-for-rule ports of the reference, citations inline):
+ *
+ *   - scan generation        <- ribbit_tpu/scan_host.py   (fasta_utils.cpp:120-161)
+ *   - scanner state machines <- ribbit_tpu/events.py      (parse_*_shiftxor.cpp)
+ *   - merge lattices         <- ribbit_tpu/lattice.py     (parse_*_shiftxor.cpp,
+ *                                                          merge_types.cpp)
+ *   - final 3-pointer merge  <- ribbit_tpu/pipeline.py    (fasta_utils.cpp:181-242)
+ *
+ * Design: the O(NSHIFTS * L) bitmap work is streamed channel-by-channel into
+ * COMPACT EVENTS (perfect runs, qualified-window runs); the sequential
+ * scanner/lattice replay then costs O(events), not O(L).  The same event
+ * arrays can be produced by the TPU scan kernel (ribbit_tpu/scan_tpu.py) and
+ * injected, in which case generation here is skipped — the consumers are
+ * identical.  Range popcount / longest-run queries (the lattices' retain
+ * rules and refinement's guards) recompute bits on demand from the 2-bit
+ * code, so no full bitmap is ever materialized or transferred.
+ *
+ * Python ints are modeled as int64_t; deliberate uint32_t wraparound quirks
+ * from the reference are kept and marked QUIRK.
+ */
+
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <time.h>
+
+typedef int64_t i64;
+typedef int32_t i32;
+
+/* rank constants (global_variables.cpp:29-35) */
+#define RANK_P 5
+#define RANK_Q 4
+#define RANK_S 3
+#define RANK_F 2
+#define RANK_C 1
+#define RANK_A 0
+#define RANK_N (-1)
+
+#define ANCHOR_SIZE 3
+#define WINDOW_LENGTH 8
+
+/* ------------------------------------------------------------------ */
+/* small vectors                                                      */
+/* ------------------------------------------------------------------ */
+
+typedef struct { i64 start, end, mlen, rank; } Seed;
+
+typedef struct { Seed *d; i64 n, cap; } SeedList;
+
+static void sl_init(SeedList *s) { s->d = NULL; s->n = 0; s->cap = 0; }
+static void sl_free(SeedList *s) { free(s->d); s->d = NULL; s->n = s->cap = 0; }
+static void sl_push(SeedList *s, Seed v) {
+    if (s->n == s->cap) {
+        s->cap = s->cap ? s->cap * 2 : 64;
+        s->d = (Seed *)realloc(s->d, (size_t)s->cap * sizeof(Seed));
+    }
+    s->d[s->n++] = v;
+}
+static void sl_remove(SeedList *s, i64 idx) {
+    memmove(s->d + idx, s->d + idx + 1,
+            (size_t)(s->n - idx - 1) * sizeof(Seed));
+    s->n--;
+}
+
+typedef struct { i64 *d; i64 n, cap; } IVec;
+static void iv_init(IVec *v) { v->d = NULL; v->n = 0; v->cap = 0; }
+static void iv_free(IVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
+static void iv_push(IVec *v, i64 x) {
+    if (v->n == v->cap) {
+        v->cap = v->cap ? v->cap * 2 : 64;
+        v->d = (i64 *)realloc(v->d, (size_t)v->cap * sizeof(i64));
+    }
+    v->d[v->n++] = x;
+}
+
+/* emissions from the scanner state machines */
+typedef struct { i64 pos; i32 didx; i32 sub; i64 s, e; i64 seq; } Emis;
+typedef struct { Emis *d; i64 n, cap; } EVec;
+static void ev_init(EVec *v) { v->d = NULL; v->n = 0; v->cap = 0; }
+static void ev_free(EVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
+static void ev_push(EVec *v, Emis e) {
+    if (v->n == v->cap) {
+        v->cap = v->cap ? v->cap * 2 : 256;
+        v->d = (Emis *)realloc(v->d, (size_t)v->cap * sizeof(Emis));
+    }
+    e.seq = v->n;
+    v->d[v->n++] = e;
+}
+static int emis_cmp(const void *pa, const void *pb) {
+    const Emis *a = (const Emis *)pa, *b = (const Emis *)pb;
+    if (a->pos != b->pos) return a->pos < b->pos ? -1 : 1;
+    if (a->didx != b->didx) return a->didx < b->didx ? -1 : 1;
+    if (a->sub != b->sub) return a->sub < b->sub ? -1 : 1;
+    return a->seq < b->seq ? -1 : (a->seq > b->seq ? 1 : 0);
+}
+
+/* ------------------------------------------------------------------ */
+/* core handle                                                        */
+/* ------------------------------------------------------------------ */
+
+typedef struct RibbitCore {
+    const int8_t *code;
+    const uint8_t *nmask;
+    i64 L;
+    i32 min_motif, max_motif, min_shift, max_shift, nshifts, nmotifs;
+
+    /* per-motif-channel events (index didx = m - min_motif) */
+    IVec *perf_s, *perf_e;      /* perfect runs of eq & ~n (len-filtered)   */
+    IVec *q7_s, *q7_e;          /* runs of qualified windows, threshold 7   */
+    IVec *q6_s, *q6_e;          /* runs of qualified windows, threshold 6   */
+    int events_ready;
+
+    /* N-free segments [a, b) */
+    IVec seg_a, seg_b;
+
+    SeedList perfect, substut, anchored;
+    SeedList final_seeds;
+
+    int overlay_phase;          /* bitcount source: 0 raw eq, 1 overlay     */
+
+    /* reusable scratch vectors for the lattice hot paths (no recursion
+     * during use: the tail-recursive rules are loops via goto restart) */
+    IVec scr[19];
+} RibbitCore;
+
+static void iv_reset(IVec *v) { v->n = 0; }
+
+/* ------------------------------------------------------------------ */
+/* bit primitives (recompute-on-demand; fasta_utils.cpp:120-161)      */
+/* ------------------------------------------------------------------ */
+
+/* eq bit at position p for shift s: seq[p]==seq[p+s], tail compares the
+ * shifted-in zero bits (N also encodes 0) */
+static inline int eq_bit(const RibbitCore *c, i64 s, i64 p) {
+    if (p + s < c->L) return c->code[p] == c->code[p + s];
+    return c->code[p] == 0;
+}
+
+/* fill buf[0..len) with eq bits for positions [off, off+len) */
+static void eq_fill(const RibbitCore *c, i64 shift, i64 off, i64 len,
+                    uint8_t *buf) {
+    i64 tail = c->L - shift;        /* positions >= tail use the zero rule */
+    if (tail < off) tail = off;
+    if (tail > off + len) tail = off + len;
+    const int8_t *a = c->code + off, *b = c->code + off + shift;
+    i64 n1 = tail - off;
+    for (i64 i = 0; i < n1; i++) buf[i] = (a[i] == b[i]);
+    for (i64 i = n1; i < len; i++) buf[i] = (c->code[off + i] == 0);
+}
+
+/* raw popcount of channel midx over [a, b) (pipeline._BitmapCounter:
+ * start clamped at 0; numpy slicing clamps the end) */
+static i64 bitcount_raw(const RibbitCore *c, i32 midx, i64 a, i64 b) {
+    i64 shift = (i64)midx + c->min_shift;
+    if (midx < 0) shift += c->nshifts;      /* python negative-index wrap */
+    if (a < 0) a = 0;
+    if (b > c->L) b = c->L;
+    i64 cnt = 0;
+    i64 tail = c->L - shift;
+    if (tail < a) tail = a;
+    if (tail > b) tail = b;
+    const int8_t *p = c->code + a, *q = c->code + a + shift;
+    i64 n1 = tail - a;
+    for (i64 i = 0; i < n1; i++) cnt += (p[i] == q[i]);
+    for (i64 i = n1; i < b - a; i++) cnt += (c->code[a + i] == 0);
+    return cnt;
+}
+
+/* mark anchor bits of shift channel `shift` intersecting [a, b) into
+ * buf[0..b-a) (OR-ing).  Anchors: maximal eq-runs within positions
+ * [0, L-1-shift] that close at a real 0 inside the range, with length in
+ * [ANCHOR_SIZE, 2*shift) — parse_anchored_shiftxor.cpp:20-56. */
+static void anchors_mark(const RibbitCore *c, i64 shift, i64 a, i64 b,
+                         uint8_t *buf) {
+    i64 hi = c->L - shift;          /* exclusive scan bound */
+    if (hi <= 0) return;
+    i64 lo = a - 2 * shift;         /* a run covering `a` starts after this */
+    if (lo < 0) lo = 0;
+    i64 scan_end = b + 2 * shift;   /* a run covering b-1 closes before this */
+    if (scan_end > hi) scan_end = hi;
+
+    i64 p = lo;
+    /* align to a run boundary: skip a possibly-straddled run prefix */
+    if (p > 0 && eq_bit(c, shift, p - 1)) {
+        while (p < scan_end && eq_bit(c, shift, p)) p++;
+    }
+    while (p < scan_end) {
+        while (p < scan_end && !eq_bit(c, shift, p)) p++;
+        if (p >= scan_end) break;
+        i64 rs = p;
+        while (p < hi && eq_bit(c, shift, p)) p++;
+        if (p >= hi) break;         /* run hit the scan boundary: dropped */
+        i64 re = p;                 /* closed at a real 0 (position re < hi) */
+        i64 len = re - rs;
+        if (len >= ANCHOR_SIZE && len < 2 * shift) {
+            i64 ms = rs > a ? rs : a;
+            i64 me = re < b ? re : b;
+            for (i64 q = ms; q < me; q++) buf[q - a] = 1;
+        }
+    }
+}
+
+/* overlay bits of motif channel m over [a, b) into buf:
+ * eq_m | anchors of neighbor shifts (fasta_utils.cpp:145-161) */
+static void overlay_fill(const RibbitCore *c, i64 m, i64 a, i64 b,
+                         uint8_t *buf) {
+    eq_fill(c, m, a, b - a, buf);
+    i64 lo = m > 2 ? m - 2 : 1;
+    for (i64 i = lo; i <= m + 2; i++) {
+        if (i == m) continue;
+        anchors_mark(c, i, a, b, buf);
+    }
+}
+
+static i64 overlay_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
+    i64 shift = (i64)midx + c->min_shift;
+    if (midx < 0) shift += c->nshifts;
+    /* non-motif (padding) channels keep the raw bitmap in the overlay
+     * array (scan_host.overlay_bitmaps overlays motif channels only) */
+    if (shift < c->min_motif || shift > c->max_motif)
+        return bitcount_raw(c, midx, a, b);
+    if (a < 0) a = 0;
+    if (b > c->L) b = c->L;
+    if (b <= a) return 0;
+    uint8_t *buf = (uint8_t *)malloc((size_t)(b - a));
+    overlay_fill(c, shift, a, b, buf);
+    i64 cnt = 0;
+    for (i64 i = 0; i < b - a; i++) cnt += buf[i];
+    free(buf);
+    return cnt;
+}
+
+/* longest run of 1s in overlay channel over [a, b) (refine.py:
+ * longest_continuous_matches over the sliced channel) */
+static i64 overlay_longest_run(const RibbitCore *c, i32 midx, i64 a, i64 b) {
+    i64 shift = (i64)midx + c->min_shift;
+    if (midx < 0) shift += c->nshifts;
+    if (a < 0) a = 0;
+    if (b > c->L) b = c->L;
+    if (b <= a) return 0;
+    uint8_t *buf = (uint8_t *)malloc((size_t)(b - a));
+    if (shift < c->min_motif || shift > c->max_motif)
+        eq_fill(c, shift, a, b - a, buf);
+    else
+        overlay_fill(c, shift, a, b, buf);
+    i64 best = 0, cur = 0;
+    for (i64 i = 0; i < b - a; i++) {
+        if (buf[i]) { cur++; if (cur > best) best = cur; }
+        else cur = 0;
+    }
+    free(buf);
+    return best;
+}
+
+static i64 core_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
+    return c->overlay_phase ? overlay_bitcount(c, midx, a, b)
+                            : bitcount_raw(c, midx, a, b);
+}
+
+/* ------------------------------------------------------------------ */
+/* event generation (scan_host.py semantics, streamed per channel)    */
+/* ------------------------------------------------------------------ */
+
+/* extract runs of buf[0..L)==1 into (starts, ends); half-open */
+static void runs_extract(const uint8_t *buf, i64 L, IVec *starts, IVec *ends) {
+    i64 p = 0;
+    while (p < L) {
+        while (p < L && !buf[p]) p++;
+        if (p >= L) break;
+        i64 s = p;
+        while (p < L && buf[p]) p++;
+        iv_push(starts, s);
+        iv_push(ends, p);
+    }
+}
+
+/* qualified-window runs over bit buffer `bits` with threshold `thr`:
+ * window w in [0, L-8] qualifies when popcount(bits[w..w+7]) >= thr AND the
+ * window is N-free (parse_substitute_shiftxor.cpp:433-475).  Emits runs of
+ * consecutive qualified windows. */
+static void qual_runs(const RibbitCore *c, const uint8_t *bits, i32 thr,
+                      IVec *starts, IVec *ends) {
+    i64 nw = c->L - WINDOW_LENGTH + 1;
+    if (nw <= 0) return;
+    i64 bitsum = 0, nsum = 0;
+    for (i64 i = 0; i < WINDOW_LENGTH; i++) {
+        bitsum += bits[i];
+        nsum += c->nmask[i];
+    }
+    i64 run_start = -1;
+    for (i64 w = 0;; w++) {
+        int q = (nsum == 0 && bitsum >= thr);
+        if (q && run_start < 0) run_start = w;
+        if (!q && run_start >= 0) {
+            iv_push(starts, run_start);
+            iv_push(ends, w);
+            run_start = -1;
+        }
+        if (w + 1 >= nw) break;
+        bitsum += bits[w + WINDOW_LENGTH] - bits[w];
+        nsum += c->nmask[w + WINDOW_LENGTH] - c->nmask[w];
+    }
+    if (run_start >= 0) {
+        iv_push(starts, run_start);
+        iv_push(ends, nw);
+    }
+}
+
+/* generate all per-channel events by streaming shifts with a rolling
+ * anchor-buffer window of 5 (overlay for motif m needs anchors m-2..m+2) */
+static void generate_events(RibbitCore *c) {
+    i64 L = c->L;
+    i32 nm = c->nmotifs;
+    c->perf_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->perf_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->q7_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->q7_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->q6_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->q6_e = (IVec *)calloc(nm, sizeof(IVec));
+
+    /* rolling buffers keyed by shift % 5 */
+    uint8_t *ebuf[5], *abuf[5];
+    i64 etag[5], atag[5];
+    for (int i = 0; i < 5; i++) {
+        ebuf[i] = (uint8_t *)malloc((size_t)L);
+        abuf[i] = (uint8_t *)malloc((size_t)L);
+        etag[i] = atag[i] = -1;
+    }
+    uint8_t *obuf = (uint8_t *)malloc((size_t)L);
+    uint8_t *mbuf = (uint8_t *)malloc((size_t)L);
+
+    for (i64 shift = c->min_shift; shift <= c->max_shift; shift++) {
+        int slot = (int)(shift % 5);
+        eq_fill(c, shift, 0, L, ebuf[slot]);
+        etag[slot] = shift;
+
+        /* anchors of this shift */
+        memset(abuf[slot], 0, (size_t)L);
+        anchors_mark(c, shift, 0, L, abuf[slot]);
+        atag[slot] = shift;
+
+        /* per-motif events once the needed neighbors exist: motif m is
+         * complete when shift == min(m + 2, max_shift)... anchors for m+1,
+         * m+2 must be present; process m = shift - 2 */
+        i64 m = shift - 2;
+        if (m < c->min_motif || m > c->max_motif) continue;
+        i32 didx = (i32)(m - c->min_motif);
+        int mslot = (int)(m % 5);
+        /* perfect runs: eq & ~n, min length filter 12-m (m<=6) else m —
+         * the strictest branch cutoff (see events.py cutoff analysis) */
+        i64 cutoff = m <= 6 ? 12 - m : m;
+        for (i64 p = 0; p < L; p++)
+            mbuf[p] = ebuf[mslot][p] && !c->nmask[p];
+        {
+            i64 p = 0;
+            while (p < L) {
+                while (p < L && !mbuf[p]) p++;
+                if (p >= L) break;
+                i64 s = p;
+                while (p < L && mbuf[p]) p++;
+                if (p - s >= cutoff) {
+                    iv_push(&c->perf_s[didx], s);
+                    iv_push(&c->perf_e[didx], p);
+                }
+            }
+        }
+        /* substitution windows over raw eq (threshold 7) */
+        qual_runs(c, ebuf[mslot], 7, &c->q7_s[didx], &c->q7_e[didx]);
+        /* anchored windows over the overlay (threshold 6) */
+        memcpy(obuf, ebuf[mslot], (size_t)L);
+        i64 lo = m > 2 ? m - 2 : 1;
+        for (i64 i = lo; i <= m + 2; i++) {
+            if (i == m) continue;
+            int nslot = (int)(i % 5);
+            if (atag[nslot] == i) {
+                for (i64 p = 0; p < L; p++) obuf[p] |= abuf[nslot][p];
+            }
+            /* i < min_shift can't happen: lo >= 1 = min shift scanned */
+        }
+        qual_runs(c, obuf, 6, &c->q6_s[didx], &c->q6_e[didx]);
+    }
+
+    for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
+    free(obuf);
+    free(mbuf);
+
+    /* N-free segments */
+    iv_init(&c->seg_a);
+    iv_init(&c->seg_b);
+    {
+        i64 p = 0;
+        while (p < L) {
+            while (p < L && c->nmask[p]) p++;
+            if (p >= L) break;
+            i64 s = p;
+            while (p < L && !c->nmask[p]) p++;
+            iv_push(&c->seg_a, s);
+            iv_push(&c->seg_b, p);
+        }
+    }
+    c->events_ready = 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* perfect lattice (lattice.py:add_seed_perfect,                      */
+/* parse_perfect_shiftxor.cpp:47-142)                                 */
+/* ------------------------------------------------------------------ */
+
+static void add_seed_perfect(RibbitCore *c, i64 seed_start, i64 seed_end,
+                             i64 motif_length) {
+restart:;
+    SeedList *sp = &c->perfect;
+    i64 seed_rlen = seed_end - seed_start + motif_length;
+
+    IVec removes = c->scr[18];
+    iv_reset(&removes);
+
+    for (i64 i = sp->n - 1; i >= 0; i--) {
+        i64 last_start = sp->d[i].start, last_end = sp->d[i].end;
+        i64 last_mlen = sp->d[i].mlen;
+        i64 last_length = last_end - last_start;
+        i64 last_rlen = last_length + last_mlen;
+
+        if (last_end < seed_start) break;
+
+        if (last_start == seed_start && last_end == seed_end) {
+            if (last_mlen < motif_length) { c->scr[18] = removes; return; }
+            iv_push(&removes, i);
+        } else if (last_start <= seed_start && last_end >= seed_end) {
+            if (seed_rlen < last_mlen / 3) continue;
+            c->scr[18] = removes;
+            return;
+        } else if (seed_start <= last_start && seed_end >= last_end) {
+            if (last_rlen < motif_length / 3) continue;
+            iv_push(&removes, i);
+        } else {
+            i64 overlap_length, merge_start, merge_end;
+            if (last_start < seed_start) {
+                overlap_length = last_end - seed_start + last_mlen;
+                merge_start = last_start;
+                merge_end = seed_end;
+            } else {
+                overlap_length = seed_end - last_start + motif_length;
+                merge_start = seed_start;
+                merge_end = last_end;
+            }
+            if (last_mlen == motif_length) {
+                c->scr[18] = removes;
+                seed_start = merge_start;
+                seed_end = merge_end;
+                motif_length = last_mlen;
+                goto restart;
+            } else if (last_mlen < motif_length) {
+                if (motif_length - overlap_length <= 1 &&
+                    seed_rlen / motif_length < 3) {
+                    c->scr[18] = removes;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    motif_length = last_mlen;
+                    goto restart;
+                } else if (seed_rlen - motif_length - overlap_length <= last_mlen) {
+                    c->scr[18] = removes;
+                    return;
+                }
+            } else {
+                if (last_mlen - overlap_length <= 1 && last_rlen / last_mlen < 3) {
+                    c->scr[18] = removes;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    motif_length = last_mlen;
+                    goto restart;
+                } else if (last_rlen - last_mlen - overlap_length <= motif_length) {
+                    iv_push(&removes, i);
+                }
+            }
+        }
+    }
+
+    for (i64 k = 0; k < removes.n; k++) sl_remove(sp, removes.d[k]);
+    c->scr[18] = removes;
+
+    if (seed_end > c->L - motif_length) seed_end = c->L - motif_length;
+    Seed s = {seed_start, seed_end, motif_length, RANK_P};
+    sl_push(sp, s);
+}
+
+/* ------------------------------------------------------------------ */
+/* substitution lattice (lattice.py:add_seed_substitution,            */
+/* parse_substitute_shiftxor.cpp:18-388)                              */
+/* ------------------------------------------------------------------ */
+
+static i64 add_seed_substitution(RibbitCore *c, i64 seed_start, i64 seed_end,
+                                 i64 motif_length, const i64 *seedlen_cutoff,
+                                 i64 from_index, i64 seed_type) {
+restart:;
+    SeedList *perfect = &c->perfect, *substut = &c->substut;
+
+    {
+        i64 i = from_index;
+        while (i < perfect->n) {
+            i64 last_start = perfect->d[i].start;
+            if (last_start > seed_end) break;
+            else if (from_index == perfect->n - 1) break;
+            else from_index++;
+            i++;
+        }
+    }
+
+    if (seed_end - seed_start < seedlen_cutoff[motif_length - c->min_motif])
+        return from_index;
+
+    IVec last_types = c->scr[0], last_indices = c->scr[1];
+    iv_reset(&last_types);
+    iv_reset(&last_indices);
+    {
+        int mvnext_perfect = perfect->n != 0;
+        int mvnext_substut = substut->n != 0;
+        i64 perfect_index = from_index;
+        i64 substut_index = substut->n - 1;
+        i64 perfect_end = 0, substut_end = 0;
+
+        while (mvnext_perfect || mvnext_substut) {
+            if (!mvnext_substut) {
+                while (mvnext_perfect) {
+                    perfect_end = perfect->d[perfect_index].end;
+                    i64 ptype = perfect->d[perfect_index].rank;
+                    if (perfect_end >= seed_start) {
+                        if (ptype != RANK_N) {
+                            iv_push(&last_types, RANK_P);
+                            iv_push(&last_indices, perfect_index);
+                        }
+                        perfect_index--;
+                    }
+                    if (perfect_index < 0 || perfect_end < seed_start)
+                        mvnext_perfect = 0;
+                }
+            } else if (!mvnext_perfect) {
+                while (mvnext_substut) {
+                    substut_end = substut->d[substut_index].end;
+                    i64 stype = substut->d[substut_index].rank;
+                    if (substut_end >= seed_start) {
+                        if (stype != RANK_N) {
+                            iv_push(&last_types, RANK_S);
+                            iv_push(&last_indices, substut_index);
+                        }
+                        substut_index--;
+                    }
+                    if (substut_index < 0 || substut_end < seed_start)
+                        mvnext_substut = 0;
+                }
+            } else {
+                perfect_end = perfect->d[perfect_index].end;
+                i64 ptype = perfect->d[perfect_index].rank;
+                substut_end = substut->d[substut_index].end;
+                i64 stype = substut->d[substut_index].rank;
+
+                if (substut_end > perfect_end) {
+                    if (stype != RANK_N) {
+                        iv_push(&last_types, RANK_S);
+                        iv_push(&last_indices, substut_index);
+                    }
+                    substut_index--;
+                } else {
+                    if (ptype != RANK_N) {
+                        iv_push(&last_types, RANK_P);
+                        iv_push(&last_indices, perfect_index);
+                    }
+                    perfect_index--;
+                }
+                if (perfect_index < 0 || perfect_end < seed_start)
+                    mvnext_perfect = 0;
+                if (substut_index < 0 || substut_end < seed_start)
+                    mvnext_substut = 0;
+            }
+        }
+    }
+
+    i64 seed_rend = seed_end + motif_length;
+    i64 seed_length = seed_end - seed_start;
+    i64 seed_rlen = seed_length + motif_length;
+    i64 seed_midx = motif_length - c->min_shift;
+    (void)seed_rend;
+
+    for (i64 k = 0; k < last_indices.n; k++) {
+        i64 i = last_indices.d[k];
+        Seed *src = last_types.d[k] == RANK_P ? &perfect->d[i] : &substut->d[i];
+        i64 last_start = src->start, last_end = src->end;
+        i64 last_mlen = src->mlen, last_type = src->rank;
+        i64 last_rend = last_end + last_mlen;
+        i64 last_length = last_end - last_start;
+        i64 last_rlen = last_rend - last_start;
+        i64 last_midx = last_mlen - c->min_shift;
+
+        if (last_end < seed_start) break;
+        if (last_type == RANK_N) continue;
+        if (seed_end < last_start) continue;
+
+        /* ---- identical ---- */
+        if (seed_start == last_start && seed_end == last_end) {
+            if (seed_type == RANK_S && (last_type == RANK_P || last_type == RANK_Q))
+                goto done_ret;
+            else if (seed_type == RANK_Q && last_type == RANK_P)
+                goto done_ret;
+            else if (seed_type == RANK_Q && last_type == RANK_S)
+                substut->d[i].rank = RANK_N;
+            else if ((seed_type == RANK_Q && last_type == RANK_Q) ||
+                     (seed_type == RANK_S && last_type == RANK_S)) {
+                if (motif_length % last_mlen == 0) goto done_ret;
+                else if (last_mlen % motif_length == 0) {
+                    substut->d[i].rank = RANK_N;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                } else {
+                    /* retain_identical */
+                    i64 nc = core_bitcount(c, (i32)seed_midx, seed_start, seed_end);
+                    i64 pc = core_bitcount(c, (i32)last_midx, seed_start, seed_end);
+                    int keep = nc > pc || (nc == pc && seed_midx < last_midx);
+                    if (!keep) goto done_ret;
+                    substut->d[i].rank = RANK_N;
+                    break;
+                }
+            }
+        }
+        /* ---- nested ---- */
+        else if (last_start <= seed_start && seed_end <= last_end) {
+            if (seed_type == RANK_S && (last_type == RANK_P || last_type == RANK_Q))
+                goto done_ret;
+            else if (seed_type == RANK_Q && last_type == RANK_P)
+                goto done_ret;
+            else if ((seed_type == RANK_Q && (last_type == RANK_S || last_type == RANK_Q)) ||
+                     (seed_type == RANK_S && last_type == RANK_S)) {
+                i64 new_type = (seed_type == RANK_S && last_type == RANK_S)
+                               ? RANK_S : RANK_Q;
+                if (motif_length == last_mlen) {
+                    substut->d[i].mlen = motif_length;
+                    substut->d[i].rank = new_type;
+                    goto done_ret;
+                } else if (motif_length % last_mlen == 0) {
+                    goto done_ret;
+                } else if (last_mlen % motif_length == 0 || last_mlen < motif_length) {
+                    if (seed_rlen >= last_mlen - 1 || seed_rlen >= last_length - 1) {
+                        substut->d[i].mlen = motif_length;
+                        substut->d[i].rank = new_type;
+                        goto done_ret;
+                    }
+                    /* else: add separately */
+                } else {
+                    /* retain_nested */
+                    if (!(core_bitcount(c, (i32)seed_midx, seed_start, seed_end) >=
+                          core_bitcount(c, (i32)last_midx, seed_start, seed_end)))
+                        goto done_ret;
+                }
+            }
+        }
+        /* ---- parent ---- */
+        else if (seed_start <= last_start && last_end <= seed_end) {
+            if ((seed_type == RANK_S && (last_type == RANK_P || last_type == RANK_Q)) ||
+                (seed_type == RANK_Q && last_type == RANK_P)) {
+                if (last_mlen % motif_length == 0) {
+                    if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                    else substut->d[i].rank = RANK_N;
+                    seed_type = RANK_Q;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                } else if (motif_length % last_mlen == 0 || last_mlen < motif_length) {
+                    if (seed_length / motif_length > 3 &&
+                        last_rlen >= (3 * motif_length) - 1) {
+                        if (last_type != RANK_P) substut->d[i].rank = RANK_N;
+                        motif_length = last_mlen;
+                        seed_type = RANK_Q;
+                        c->scr[0] = last_types; c->scr[1] = last_indices;
+                        goto restart;
+                    } else if (seed_length / motif_length <= 3 &&
+                               (last_rlen >= motif_length - 1 ||
+                                last_rlen >= seed_length - 1)) {
+                        if (last_type != RANK_P) substut->d[i].rank = RANK_N;
+                        motif_length = last_mlen;
+                        seed_type = RANK_Q;
+                        c->scr[0] = last_types; c->scr[1] = last_indices;
+                        goto restart;
+                    }
+                    /* else: add separately */
+                }
+                /* else: retain both separately */
+            } else if (seed_type == RANK_Q && last_type == RANK_S) {
+                substut->d[i].rank = RANK_N;
+                break;
+            } else if ((seed_type == RANK_Q && last_type == RANK_Q) ||
+                       (seed_type == RANK_S && last_type == RANK_S)) {
+                if (last_mlen % motif_length == 0) {
+                    substut->d[i].rank = RANK_N;
+                } else if (motif_length % last_mlen == 0 || motif_length > last_mlen) {
+                    if (last_rlen >= motif_length - 1 || last_rlen >= seed_length - 1) {
+                        substut->d[i].rank = RANK_N;
+                        motif_length = last_mlen;
+                        c->scr[0] = last_types; c->scr[1] = last_indices;
+                        goto restart;
+                    } else {
+                        if (core_bitcount(c, (i32)last_midx, last_start, last_end) >=
+                            core_bitcount(c, (i32)seed_midx, last_start, last_end))
+                            continue;
+                        substut->d[i].rank = RANK_N;
+                    }
+                } else if (last_mlen > motif_length) {
+                    if (core_bitcount(c, (i32)last_midx, last_start, last_end) >=
+                        core_bitcount(c, (i32)seed_midx, last_start, last_end))
+                        continue;
+                    substut->d[i].rank = RANK_N;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                }
+            }
+        }
+        /* ---- overlap ---- */
+        else {
+            i64 overlap_length, merge_start, merge_end;
+            if (last_start < seed_start) {
+                if (last_mlen <= motif_length)
+                    overlap_length = seed_end <= last_rend ? seed_end - seed_start
+                                                           : last_rend - seed_start;
+                else
+                    overlap_length = seed_end <= last_end ? seed_end - seed_start
+                                                          : last_end - seed_start;
+                merge_start = last_start;
+                merge_end = seed_end;
+            } else {
+                if (motif_length <= last_mlen)
+                    overlap_length = last_end <= seed_rend ? last_end - last_start
+                                                           : seed_rend - last_start;
+                else
+                    overlap_length = last_end <= seed_end ? last_end - last_start
+                                                          : seed_end - last_start;
+                merge_start = seed_start;
+                merge_end = last_end;
+            }
+
+            if (last_mlen % motif_length == 0 || last_mlen > motif_length) {
+                if (last_length / last_mlen > 3 &&
+                    overlap_length >= (3 * last_mlen) - 1) {
+                    if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                    else substut->d[i].rank = RANK_N;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    seed_type = RANK_Q;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                } else if (last_length / last_mlen <= 3 &&
+                           (overlap_length >= last_mlen - 1 ||
+                            overlap_length >= last_length - 1)) {
+                    if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                    else substut->d[i].rank = RANK_N;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    seed_type = RANK_Q;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                }
+            } else if (motif_length % last_mlen == 0 || motif_length > last_mlen) {
+                if (seed_length / motif_length > 3 &&
+                    overlap_length >= (3 * motif_length) - 1) {
+                    if (last_type != RANK_P) substut->d[i].rank = RANK_N;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    motif_length = last_mlen;
+                    seed_type = RANK_Q;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                } else if (seed_length / motif_length <= 3 &&
+                           (overlap_length >= motif_length - 1 ||
+                            overlap_length >= seed_length - 1)) {
+                    if (last_type != RANK_P) substut->d[i].rank = RANK_N;
+                    seed_start = merge_start;
+                    seed_end = merge_end;
+                    motif_length = last_mlen;
+                    seed_type = RANK_Q;
+                    c->scr[0] = last_types; c->scr[1] = last_indices;
+                    goto restart;
+                }
+            }
+        }
+    }
+
+    if (seed_end > c->L - motif_length) seed_end = c->L - motif_length;
+    {
+        Seed s = {seed_start, seed_end, motif_length, seed_type};
+        sl_push(substut, s);
+    }
+done_ret:
+    c->scr[0] = last_types;
+    c->scr[1] = last_indices;
+    return from_index;
+}
+
+/* ------------------------------------------------------------------ */
+/* 3-list merge walker (lattice.py:merge_all_lists,                   */
+/* merge_types.cpp:11-189)                                            */
+/* ------------------------------------------------------------------ */
+
+static inline Seed *list_at(SeedList *l, i64 idx) {
+    /* python negative indexing wraps; the guarded states make this
+     * unreachable on real inputs, but stay memory-safe */
+    if (idx < 0) idx += l->n;
+    return &l->d[idx];
+}
+
+static void merge_all_lists(RibbitCore *c, i64 from_index_perfect,
+                            i64 from_index_substut, IVec *last_types,
+                            IVec *last_indices, i64 seed_start) {
+    SeedList *perfect = &c->perfect, *substut = &c->substut,
+             *anchored = &c->anchored;
+    IVec sp_types = c->scr[2], sp_indices = c->scr[3];
+    iv_reset(&sp_types);
+    iv_reset(&sp_indices);
+
+    int perfect_start_bool = 0, substut_start_bool = 0;
+    i64 perfect_index = from_index_perfect;
+    i64 substut_index = from_index_substut;
+    i64 perfect_end = 0, substut_end = 0;
+
+    if (perfect->n == 0) perfect_start_bool = 1;
+    if (substut->n == 0) substut_start_bool = 1;   /* guarded deviation */
+
+    while (!(perfect_start_bool && substut_start_bool)) {
+        if (substut_start_bool) {
+            while (perfect_index >= 0 || !perfect_start_bool) {
+                Seed *s = list_at(perfect, perfect_index);
+                perfect_end = s->end;
+                i64 ptype = s->rank;
+                if (perfect_end >= seed_start) {
+                    if (ptype != RANK_N) {
+                        iv_push(&sp_types, RANK_P);
+                        iv_push(&sp_indices, perfect_index);
+                    }
+                    perfect_index--;
+                }
+                if (perfect_index < 0 || perfect_end < seed_start) {
+                    perfect_start_bool = 1;
+                    break;
+                }
+            }
+        } else if (perfect_start_bool) {
+            while (substut_end >= 0 || !substut_start_bool) {
+                Seed *s = list_at(substut, substut_index);
+                substut_end = s->end;
+                i64 stype = s->rank;
+                if (substut_end >= seed_start) {
+                    if (stype != RANK_N) {
+                        iv_push(&sp_types, RANK_S);
+                        iv_push(&sp_indices, substut_index);
+                    }
+                    substut_index--;
+                }
+                if (substut_index < 0 || substut_end < seed_start) {
+                    substut_start_bool = 1;
+                    break;
+                }
+            }
+        } else {
+            perfect_end = perfect->d[perfect_index].end;
+            substut_end = substut->d[substut_index].end;
+            i64 ptype = perfect->d[perfect_index].rank;
+            i64 stype = substut->d[substut_index].rank;
+
+            if (substut_end > perfect_end) {
+                if (stype != RANK_N) {
+                    iv_push(&sp_types, RANK_S);
+                    iv_push(&sp_indices, substut_index);
+                }
+                substut_index--;
+            } else {
+                if (ptype != RANK_N) {
+                    iv_push(&sp_types, RANK_P);
+                    iv_push(&sp_indices, perfect_index);
+                }
+                perfect_index--;
+            }
+            if (perfect_index < 0 || perfect_end < seed_start)
+                perfect_start_bool = 1;
+            if (substut_index < 0 || substut_end < seed_start)
+                substut_start_bool = 1;
+        }
+    }
+
+    int subperf_start_bool = 0, anchored_start_bool = 0;
+    i64 subperf_index = sp_indices.n - 1;
+    i64 anchored_index = anchored->n - 1;
+    i64 subperf_end = 0, anchored_end = 0;
+
+    if (anchored->n == 0) {
+        for (i64 k = 0; k < sp_indices.n; k++) {
+            iv_push(last_indices, sp_indices.d[k]);
+            iv_push(last_types, sp_types.d[k]);
+        }
+    } else if (sp_indices.n == 0) {
+        while (anchored_end >= 0 || !anchored_start_bool) {
+            Seed *s = list_at(anchored, anchored_index);
+            anchored_end = s->end;
+            i64 atype = s->rank;
+            if (anchored_end >= seed_start) {
+                if (atype != RANK_N) {
+                    iv_push(last_types, RANK_A);
+                    iv_push(last_indices, anchored_index);
+                }
+                anchored_index--;
+            }
+            if (anchored_index < 0 || anchored_end < seed_start) break;
+        }
+    } else {
+        while (!(subperf_start_bool && anchored_start_bool)) {
+            if (anchored_start_bool) {
+                while (subperf_index >= 0 || !subperf_start_bool) {
+                    i64 sptype = sp_types.d[subperf_index];
+                    i64 idx = sp_indices.d[subperf_index];
+                    subperf_end = sptype == RANK_P ? perfect->d[idx].end
+                                                   : substut->d[idx].end;
+                    if (subperf_end >= seed_start) {
+                        iv_push(last_types, sptype);
+                        iv_push(last_indices, idx);
+                        subperf_index--;
+                    }
+                    if (subperf_index < 0 || subperf_end < seed_start) {
+                        subperf_start_bool = 1;
+                        break;
+                    }
+                }
+            } else if (subperf_start_bool) {
+                while (anchored_end >= 0 || !anchored_start_bool) {
+                    Seed *s = list_at(anchored, anchored_index);
+                    anchored_end = s->end;
+                    i64 atype = s->rank;
+                    if (anchored_end >= seed_start) {
+                        if (atype != RANK_N) {
+                            iv_push(last_types, RANK_A);
+                            iv_push(last_indices, anchored_index);
+                        }
+                        anchored_index--;
+                    }
+                    if (anchored_index < 0 || anchored_end < seed_start) {
+                        anchored_start_bool = 1;
+                        break;
+                    }
+                }
+            } else {
+                i64 sptype = sp_types.d[subperf_index];
+                i64 idx = sp_indices.d[subperf_index];
+                subperf_end = sptype == RANK_P ? perfect->d[idx].end
+                                               : substut->d[idx].end;
+                anchored_end = anchored->d[anchored_index].end;
+
+                if (anchored_end > subperf_end) {
+                    iv_push(last_types, RANK_A);
+                    iv_push(last_indices, anchored_index);
+                    anchored_index--;
+                } else {
+                    iv_push(last_types, sptype);
+                    iv_push(last_indices, idx);
+                    subperf_index--;
+                }
+                if (subperf_index < 0 || subperf_end < seed_start)
+                    subperf_start_bool = 1;
+                if (anchored_index < 0 || anchored_end < seed_start)
+                    anchored_start_bool = 1;
+            }
+        }
+    }
+    c->scr[2] = sp_types;
+    c->scr[3] = sp_indices;
+}
+
+/* ------------------------------------------------------------------ */
+/* anchored lattice (lattice.py:add_seed_anchored,                    */
+/* parse_anchored_shiftxor.cpp:113-534)                               */
+/* ------------------------------------------------------------------ */
+
+typedef struct { i64 fip, fis; } FromIdx;
+
+static FromIdx add_seed_anchored(RibbitCore *c, i64 seed_start, i64 seed_end,
+                                 i64 motif_length, const i64 *seedlen_cutoffs,
+                                 FromIdx from, i64 seed_type) {
+restart:;
+    SeedList *perfect = &c->perfect, *substut = &c->substut,
+             *anchored = &c->anchored;
+    i64 from_index_perfect = from.fip, from_index_substut = from.fis;
+
+    {
+        i64 i = from_index_perfect;
+        while (i < perfect->n) {
+            if (perfect->d[i].start > seed_end) break;
+            else if (from_index_perfect == perfect->n - 1) break;
+            else from_index_perfect++;
+            i++;
+        }
+        i = from_index_substut;
+        while (i < substut->n) {
+            if (substut->d[i].start > seed_end) break;
+            else if (from_index_substut == substut->n - 1) break;
+            else from_index_substut++;
+            i++;
+        }
+    }
+    from.fip = from_index_perfect;
+    from.fis = from_index_substut;
+
+    if (seed_end - seed_start < seedlen_cutoffs[motif_length - c->min_motif])
+        return from;
+
+    IVec last_types = c->scr[4], last_indices = c->scr[5];
+    iv_reset(&last_types);
+    iv_reset(&last_indices);
+    merge_all_lists(c, from_index_perfect, from_index_substut,
+                    &last_types, &last_indices, seed_start);
+
+    i64 seed_rend = seed_end + motif_length;
+    i64 seed_length = seed_end - seed_start;
+    i64 seed_rlen = seed_length + motif_length;
+    i64 seed_midx = motif_length - c->min_shift;
+
+    IVec po_sp_factor = c->scr[6], po_sp_factorsizes = c->scr[7],
+         po_sp_factortypes = c->scr[8];
+    IVec po_sp_multiple = c->scr[9], po_sp_multipletypes = c->scr[10];
+    IVec po_sp_nonfactor = c->scr[11], po_sp_nonfactorsizes = c->scr[12],
+         po_sp_nonfactortypes = c->scr[13];
+    IVec po_an_factor = c->scr[14], po_an_nonfactor = c->scr[15],
+         nestedin = c->scr[16], identical = c->scr[17];
+    iv_reset(&po_sp_factor); iv_reset(&po_sp_factorsizes);
+    iv_reset(&po_sp_factortypes);
+    iv_reset(&po_sp_multiple); iv_reset(&po_sp_multipletypes);
+    iv_reset(&po_sp_nonfactor); iv_reset(&po_sp_nonfactorsizes);
+    iv_reset(&po_sp_nonfactortypes);
+    iv_reset(&po_an_factor); iv_reset(&po_an_nonfactor);
+    iv_reset(&nestedin); iv_reset(&identical);
+
+#define ANCH_FREE_ALL() do { \
+    c->scr[4] = last_types; c->scr[5] = last_indices; \
+    c->scr[6] = po_sp_factor; c->scr[7] = po_sp_factorsizes; \
+    c->scr[8] = po_sp_factortypes; \
+    c->scr[9] = po_sp_multiple; c->scr[10] = po_sp_multipletypes; \
+    c->scr[11] = po_sp_nonfactor; c->scr[12] = po_sp_nonfactorsizes; \
+    c->scr[13] = po_sp_nonfactortypes; \
+    c->scr[14] = po_an_factor; c->scr[15] = po_an_nonfactor; \
+    c->scr[16] = nestedin; c->scr[17] = identical; \
+} while (0)
+
+    /* last_* persist past the loop for the coverage-vote quirks */
+    i64 last_start = 0, last_end = 0, last_rend = 0, last_mlen = 0;
+
+    for (i64 k = 0; k < last_indices.n; k++) {
+        i64 i = last_indices.d[k];
+        Seed *src;
+        if (last_types.d[k] == RANK_P) src = &perfect->d[i];
+        else if (last_types.d[k] == RANK_S) src = &substut->d[i];
+        else src = &anchored->d[i];
+        last_start = src->start;
+        last_end = src->end;
+        last_mlen = src->mlen;
+        i64 last_type = src->rank;
+        last_rend = last_end + last_mlen;
+
+        if (last_end < seed_start) break;
+        if (last_type == RANK_N) continue;
+        if (seed_end < last_start) continue;
+
+        i64 last_length = last_end - last_start;
+        i64 last_rlen = last_rend - last_start;
+        i64 last_midx = last_mlen - c->min_shift;
+
+        /* ---- identical ---- */
+        if (seed_start == last_start && seed_end == last_end) {
+            if (seed_type == RANK_A && last_type > RANK_A) {
+                ANCH_FREE_ALL();
+                return from;
+            } else if (seed_type == RANK_C && last_type == RANK_A) {
+                anchored->d[i].rank = RANK_N;
+            } else {
+                iv_push(&identical, i);
+            }
+        }
+        /* ---- nested ---- */
+        else if (last_start <= seed_start && seed_end <= last_end) {
+            if (last_type > seed_type) {
+                ANCH_FREE_ALL();
+                return from;
+            } else if (seed_type == RANK_C && last_type == RANK_A) {
+                /* pass */
+            } else if ((seed_type == RANK_A && last_type == RANK_A) ||
+                       (seed_type == RANK_C && last_type == RANK_C)) {
+                /* QUIRK: != 4 carve-outs (parse_anchored_shiftxor.cpp:241,246) */
+                if (motif_length % last_mlen == 0 && motif_length != 4) {
+                    ANCH_FREE_ALL();
+                    return from;
+                } else if (last_mlen % motif_length == 0 && last_mlen != 4) {
+                    if (seed_rlen >= last_mlen - 1 || seed_rlen >= last_length) {
+                        anchored->d[i].rank = RANK_N;
+                        seed_start = last_start;
+                        seed_end = last_end;
+                        ANCH_FREE_ALL();
+                        goto restart;
+                    }
+                    iv_push(&nestedin, i);
+                    continue;
+                } else {
+                    if (!(core_bitcount(c, (i32)seed_midx, seed_start, seed_end) >=
+                          core_bitcount(c, (i32)last_midx, seed_start, seed_end))) {
+                        ANCH_FREE_ALL();
+                        return from;
+                    }
+                    iv_push(&nestedin, i);
+                    continue;
+                }
+            }
+        }
+        /* ---- parent ---- */
+        else if (seed_start <= last_start && last_end <= seed_end) {
+            if (last_type > seed_type) {
+                if (motif_length % last_mlen == 0) {
+                    if (last_rlen >= motif_length - 2 || last_rlen >= seed_length - 2) {
+                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        else if (last_type == RANK_S || last_type == RANK_Q)
+                            substut->d[i].rank = RANK_N;
+                        motif_length = last_mlen;
+                        seed_type = RANK_C;
+                        ANCH_FREE_ALL();
+                        goto restart;
+                    } else {
+                        iv_push(&po_sp_factor, i);
+                        iv_push(&po_sp_factorsizes, last_mlen);
+                        iv_push(&po_sp_factortypes, last_type);
+                    }
+                } else if (last_mlen % motif_length == 0) {
+                    if (last_mlen >= 4 * motif_length ||
+                        last_length >= 4 * motif_length) {
+                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        else if (last_type == RANK_S || last_type == RANK_Q)
+                            substut->d[i].rank = RANK_N;
+                        seed_type = RANK_C;
+                        ANCH_FREE_ALL();
+                        goto restart;
+                    } else {
+                        iv_push(&po_sp_multiple, i);
+                        iv_push(&po_sp_multipletypes, last_type);
+                    }
+                } else if (last_mlen > motif_length) {
+                    if (last_mlen >= 4 * motif_length ||
+                        last_length >= 4 * motif_length) {
+                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        else if (last_type == RANK_S || last_type == RANK_Q)
+                            substut->d[i].rank = RANK_N;
+                        seed_type = RANK_C;
+                        ANCH_FREE_ALL();
+                        goto restart;
+                    }
+                } else {
+                    iv_push(&po_sp_nonfactor, i);
+                    iv_push(&po_sp_nonfactorsizes, last_mlen);
+                    iv_push(&po_sp_nonfactortypes, last_type);
+                }
+            } else if (seed_type == RANK_C && last_type == RANK_A) {
+                anchored->d[i].rank = RANK_N;
+            } else if ((seed_type == RANK_A && last_type == RANK_A) ||
+                       (seed_type == RANK_C && last_type == RANK_C)) {
+                if (last_mlen == motif_length) {
+                    anchored->d[i].rank = RANK_N;
+                } else {
+                    if (!(core_bitcount(c, (i32)last_midx, last_start, last_end) >=
+                          core_bitcount(c, (i32)seed_midx, last_start, last_end))) {
+                        anchored->d[i].rank = RANK_N;
+                    } else {
+                        if (motif_length % last_mlen == 0) {
+                            if (last_rlen >= motif_length - 2 ||
+                                last_rlen >= seed_length - 2) {
+                                anchored->d[i].rank = RANK_N;
+                                motif_length = last_mlen;
+                                ANCH_FREE_ALL();
+                                goto restart;
+                            }
+                            iv_push(&po_an_factor, i);
+                        } else if (last_mlen % motif_length == 0) {
+                            continue;
+                        } else {
+                            iv_push(&po_an_nonfactor, i);
+                        }
+                    }
+                }
+            }
+        }
+        /* ---- overlap ---- */
+        else {
+            i64 overlap_length, merge_start, merge_end;
+            if (last_start < seed_start) {
+                if (last_mlen <= motif_length)
+                    overlap_length = seed_end <= last_rend ? seed_end - seed_start
+                                                           : last_rend - seed_start;
+                else
+                    overlap_length = seed_end <= last_end ? seed_end - seed_start
+                                                          : last_end - seed_start;
+                merge_start = last_start;
+                merge_end = seed_end;
+            } else {
+                if (motif_length <= last_mlen)
+                    overlap_length = last_end <= seed_rend ? last_end - last_start
+                                                           : seed_rend - last_start;
+                else
+                    overlap_length = last_end <= seed_end ? last_end - last_start
+                                                          : seed_end - last_start;
+                merge_start = seed_start;
+                merge_end = last_end;
+            }
+
+            if (seed_type == RANK_A && last_type > RANK_C) {
+                if (motif_length == last_mlen) {
+                    if (overlap_length >= 4 * motif_length) {
+                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        else if (last_type == RANK_S || last_type == RANK_Q)
+                            substut->d[i].rank = RANK_N;
+                        seed_start = merge_start;
+                        seed_end = merge_end;
+                        seed_type = RANK_C;
+                        ANCH_FREE_ALL();
+                        goto restart;
+                    }
+                }
+                if (motif_length % last_mlen == 0 || last_mlen % motif_length == 0) {
+                    /* pass */
+                } else {
+                    if (overlap_length >= motif_length - 1 ||
+                        overlap_length >= seed_length - 1) {
+                        ANCH_FREE_ALL();
+                        return from;
+                    }
+                }
+            } else if ((seed_type == RANK_A || seed_type == RANK_C) &&
+                       (last_type == RANK_A || last_type == RANK_C)) {
+                if (motif_length == last_mlen) {
+                    if (last_length >= seed_length) {
+                        if (seed_length >= 3 * motif_length &&
+                            (overlap_length >= 3 * motif_length - 1 ||
+                             overlap_length >= seed_length - 1)) {
+                            anchored->d[i].rank = RANK_N;
+                            seed_start = merge_start;
+                            seed_end = merge_end;
+                            motif_length = last_mlen;
+                            ANCH_FREE_ALL();
+                            goto restart;
+                        } else if (seed_length < 3 * motif_length &&
+                                   (overlap_length >= motif_length - 1 ||
+                                    overlap_length >= seed_length - 1)) {
+                            anchored->d[i].rank = RANK_N;
+                            seed_start = merge_start;
+                            seed_end = merge_end;
+                            motif_length = last_mlen;
+                            ANCH_FREE_ALL();
+                            goto restart;
+                        }
+                    } else {
+                        if (last_length >= 3 * last_mlen &&
+                            (overlap_length >= 3 * last_mlen - 1 ||
+                             overlap_length >= last_length - 1)) {
+                            anchored->d[i].rank = RANK_N;
+                            seed_start = merge_start;
+                            seed_end = merge_end;
+                            motif_length = last_mlen;
+                            ANCH_FREE_ALL();
+                            goto restart;
+                        } else if (seed_length < 3 * last_mlen &&
+                                   (overlap_length >= last_mlen - 1 ||
+                                    overlap_length >= last_length - 1)) {
+                            anchored->d[i].rank = RANK_N;
+                            seed_start = merge_start;
+                            seed_end = merge_end;
+                            motif_length = last_mlen;
+                            ANCH_FREE_ALL();
+                            goto restart;
+                        }
+                    }
+                }
+            }
+        }
+    }
+
+    /* ---- non-factor coverage vote (parse_anchored_shiftxor.cpp:441-468)
+     * QUIRK: reference indexes the lists with loop counter j, compares
+     * against uint32_t prev_start initialized to -1 */
+    if (po_sp_nonfactor.n > 0) {
+        i64 nonfactor_coverage = 0;
+        uint32_t prev_start = 0xFFFFFFFFu;
+        for (i64 j = 0; j < po_sp_nonfactor.n; j++) {
+            i64 ktype = po_sp_nonfactortypes.d[j];
+            SeedList *src = ktype == RANK_P ? perfect
+                            : (ktype == RANK_S ? substut : NULL);
+            if (src != NULL) {
+                if (j < src->n) {
+                    last_start = src->d[j].start;
+                    last_end = src->d[j].end;
+                    last_mlen = src->d[j].mlen;
+                } else {
+                    last_start = last_end = last_mlen = 0;
+                }
+                last_rend = last_end + last_mlen;
+            }
+            if ((uint32_t)last_rend >= prev_start)
+                nonfactor_coverage += (i64)prev_start - last_start;
+            else if (last_rend < seed_end)
+                nonfactor_coverage += last_rend - last_start;
+            else
+                nonfactor_coverage += seed_end - last_start;
+            prev_start = (uint32_t)last_start;
+        }
+        if ((double)nonfactor_coverage > 0.5 * (double)seed_length) {
+            ANCH_FREE_ALL();
+            return from;
+        }
+    }
+
+    /* ---- factor coverage vote (parse_anchored_shiftxor.cpp:471-526) ---- */
+    if (po_sp_factor.n > 0) {
+        /* maps keyed by motif length (bounded by max_motif) */
+        i64 nkeys = c->max_motif + 3;
+        uint32_t *prev_starts = (uint32_t *)malloc((size_t)nkeys * 4);
+        i64 *factor_cov = (i64 *)malloc((size_t)nkeys * sizeof(i64));
+        uint8_t *present = (uint8_t *)calloc((size_t)nkeys, 1);
+        for (i64 j = 0; j < po_sp_factorsizes.n; j++) {
+            i64 fs = po_sp_factorsizes.d[j];
+            prev_starts[fs] = 0xFFFFFFFFu;
+            factor_cov[fs] = 0;
+            present[fs] = 1;
+        }
+        for (i64 j = 0; j < po_sp_factor.n; j++) {
+            i64 ktype = po_sp_factortypes.d[j];
+            SeedList *src = ktype == RANK_P ? perfect
+                            : (ktype == RANK_S ? substut : NULL);
+            if (src != NULL) {
+                if (j < src->n) {
+                    last_start = src->d[j].start;
+                    last_end = src->d[j].end;
+                    last_mlen = src->d[j].mlen;
+                } else {
+                    last_start = last_end = last_mlen = 0;
+                }
+                last_rend = last_end + last_mlen;
+            }
+            /* operator[] default-inserts 0 for unseen keys */
+            if (last_mlen >= 0 && last_mlen < nkeys && !present[last_mlen]) {
+                prev_starts[last_mlen] = 0;
+                factor_cov[last_mlen] = 0;
+                present[last_mlen] = 1;
+            }
+            uint32_t prev_start = prev_starts[last_mlen];
+            if ((uint32_t)last_rend >= prev_start)
+                factor_cov[last_mlen] += (i64)prev_start - last_start;
+            else if (last_rend < seed_end)
+                factor_cov[last_mlen] += last_rend - last_start;
+            else
+                factor_cov[last_mlen] += seed_end - last_start;
+            prev_starts[last_mlen] = (uint32_t)last_start;
+        }
+        int retagged = 0;
+        for (i64 factor = 0; factor < nkeys && !retagged; factor++) {
+            if (!present[factor]) continue;
+            if ((double)factor_cov[factor] >= 0.8 * (double)seed_length) {
+                motif_length = factor;
+                seed_type = RANK_C;
+                /* QUIRK: retag loop also indexes with j and uses the stale
+                 * last_start/last_end (parse_anchored_shiftxor.cpp:511-522) */
+                for (i64 j = 0; j < po_sp_factor.n; j++) {
+                    i64 ktype = po_sp_factortypes.d[j];
+                    if (ktype == RANK_P) {
+                        if (j < perfect->n && perfect->d[j].mlen == factor) {
+                            perfect->d[j].start = last_start;
+                            perfect->d[j].end = last_end;
+                            perfect->d[j].rank = RANK_N;
+                        }
+                    } else if (ktype == RANK_S) {
+                        if (j < substut->n && substut->d[j].mlen == factor) {
+                            substut->d[j].start = last_start;
+                            substut->d[j].end = last_end;
+                            substut->d[j].rank = RANK_N;
+                        }
+                    }
+                }
+                retagged = 1;
+            }
+        }
+        free(prev_starts);
+        free(factor_cov);
+        free(present);
+    }
+
+    if (seed_end > c->L - motif_length) seed_end = c->L - motif_length;
+    {
+        Seed s = {seed_start, seed_end, motif_length, seed_type};
+        sl_push(anchored, s);
+    }
+    ANCH_FREE_ALL();
+    return from;
+#undef ANCH_FREE_ALL
+}
+
+/* ------------------------------------------------------------------ */
+/* scanner replays (events.py)                                        */
+/* ------------------------------------------------------------------ */
+
+/* perfect scanner: turn per-channel runs into the insertion order of
+ * processShiftXORsPerfect (events.py:run_perfect_scan) */
+static void run_perfect_scan(RibbitCore *c) {
+    EVec events;
+    ev_init(&events);
+    i64 L = c->L;
+    for (i32 didx = 0; didx < c->nmotifs; didx++) {
+        i64 m = c->min_motif + didx;
+        i64 cutoff = m <= 6 ? 12 - m : m;
+        /* QUIRK: N-closed runs use cutoff m + midx (parse_perfect_shiftxor.cpp:179) */
+        i64 midx = m - c->min_shift;
+        i64 cutoff_n = m <= 6 ? 12 - m : m + midx;
+        IVec *ss = &c->perf_s[didx], *ee = &c->perf_e[didx];
+        for (i64 r = 0; r < ss->n; r++) {
+            i64 s = ss->d[r], e = ee->d[r];
+            if (e >= L) {
+                /* final flush uses window_position L-1 */
+                if ((L - 1) - s >= cutoff) {
+                    Emis em = {L, didx, 0, s, L - 1, 0};
+                    ev_push(&events, em);
+                }
+            } else if (c->nmask[e]) {
+                if (e - s >= cutoff_n) {
+                    Emis em = {e, didx, 0, s, e, 0};
+                    ev_push(&events, em);
+                }
+            } else {
+                if (e - s >= cutoff) {
+                    Emis em = {e, didx, 0, s, e, 0};
+                    ev_push(&events, em);
+                }
+            }
+        }
+    }
+    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+    for (i64 k = 0; k < events.n; k++) {
+        i64 m = c->min_motif + events.d[k].didx;
+        add_seed_perfect(c, events.d[k].s, events.d[k].e, m);
+    }
+    ev_free(&events);
+}
+
+/* one channel of the windowed scanner state machine
+ * (events.py:_windowed_emissions); qual runs are [ws, we) half-open over
+ * window indices */
+static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
+                               i64 m, i32 didx, EVec *out) {
+    i64 L = c->L;
+    const i64 W = WINDOW_LENGTH;
+    if (qs->n == 0) return;
+
+    /* evaluated-window intervals per wide segment: w in [segA, segB - W] */
+    i64 n_wide = 0;
+    i64 *eval_lo = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
+    i64 *eval_hi = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
+    i64 *seg_b = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
+    for (i64 i = 0; i < c->seg_a.n; i++) {
+        if (c->seg_b.d[i] - c->seg_a.d[i] >= W) {
+            eval_lo[n_wide] = c->seg_a.d[i];
+            eval_hi[n_wide] = c->seg_b.d[i] - W;
+            seg_b[n_wide] = c->seg_b.d[i];
+            n_wide++;
+        }
+    }
+    const i64 SENTINEL = (i64)1 << 60;
+
+    /* first_eval_after(x): smallest evaluated window index >= x+1 */
+#define FIRST_EVAL_AFTER(x, res) do { \
+    i64 _lo = 0, _hi = n_wide; \
+    while (_lo < _hi) { i64 _mid = (_lo + _hi) >> 1; \
+        if (eval_hi[_mid] < (x) + 1) _lo = _mid + 1; else _hi = _mid; } \
+    if (_lo >= n_wide) (res) = SENTINEL; \
+    else (res) = ((x) + 1 > eval_lo[_lo]) ? (x) + 1 : eval_lo[_lo]; \
+} while (0)
+
+    i64 cur = -1;       /* tracked seed start (window index) or -1 */
+    i64 ls = -1, le = -1;
+
+    for (i64 r = 0; r < qs->n; r++) {
+        i64 ws = qs->d[r];
+        i64 we = qe->d[r] - 1;    /* inclusive last qualified window */
+
+        if (le != -1) {
+            i64 wf;
+            FIRST_EVAL_AFTER(le, wf);
+            if (wf < ws) {
+                Emis em = {wf + W - 1, didx, 0, ls, le, 0};
+                ev_push(out, em);
+                ls = le = -1;
+            }
+        }
+        if (le != -1 && le < ws) {
+            Emis em = {ws + W - 1, didx, 0, ls, le, 0};
+            ev_push(out, em);
+            ls = le = -1;
+        }
+        cur = ws;
+
+        /* locate this run's segment (bisect_left over eval_hi) */
+        i64 si;
+        {
+            i64 _lo = 0, _hi = n_wide;
+            while (_lo < _hi) {
+                i64 _mid = (_lo + _hi) >> 1;
+                if (eval_hi[_mid] < we) _lo = _mid + 1; else _hi = _mid;
+            }
+            si = _lo;
+        }
+        i64 seg_last_eval = eval_hi[si];
+        if (we < seg_last_eval) {
+            if (ls == -1) ls = cur;
+            le = we + W;
+            cur = -1;
+        } else {
+            i64 sB = seg_b[si];
+            if (sB < L) {
+                if (le != -1 && le < sB - (W - 1)) {
+                    Emis em = {sB, didx, 0, ls, le, 0};
+                    ev_push(out, em);
+                    ls = le = -1;
+                }
+                cur = -1;
+            }
+            /* else: sequence end with cur still tracking -> EOF below */
+        }
+    }
+
+    if (le != -1 && cur == -1) {
+        i64 wf;
+        FIRST_EVAL_AFTER(le, wf);
+        if (wf < SENTINEL) {
+            Emis em = {wf + W - 1, didx, 0, ls, le, 0};
+            ev_push(out, em);
+            ls = le = -1;
+        }
+    }
+
+    /* end-of-sequence flush (parse_substitute_shiftxor.cpp:534-574) */
+    if (le == -1) {
+        if (cur != -1) {
+            Emis em = {L, didx, 0, cur, L, 0};
+            ev_push(out, em);
+        }
+    } else {
+        if (cur == -1) {
+            Emis em = {L, didx, 0, ls, le, 0};
+            ev_push(out, em);
+        } else {
+            if (le >= cur - m) {
+                Emis em = {L, didx, 0, ls, L, 0};
+                ev_push(out, em);
+            } else {
+                Emis em1 = {L, didx, 0, ls, le, 0};
+                ev_push(out, em1);
+                Emis em2 = {L, didx, 1, cur, L, 0};
+                ev_push(out, em2);
+            }
+        }
+    }
+#undef FIRST_EVAL_AFTER
+    free(eval_lo);
+    free(eval_hi);
+    free(seg_b);
+}
+
+static void run_substitution_scan(RibbitCore *c) {
+    EVec events;
+    ev_init(&events);
+    for (i32 didx = 0; didx < c->nmotifs; didx++) {
+        i64 m = c->min_motif + didx;
+        windowed_emissions(c, &c->q7_s[didx], &c->q7_e[didx], m, didx, &events);
+    }
+    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+
+    i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
+    for (i32 d = 0; d < c->nmotifs; d++) {
+        i64 m = c->min_motif + d;
+        cutoffs[d] = m > 30 ? m / 3 : 10;
+    }
+    i64 from_index = 0;
+    for (i64 k = 0; k < events.n; k++) {
+        i64 m = c->min_motif + events.d[k].didx;
+        from_index = add_seed_substitution(c, events.d[k].s, events.d[k].e, m,
+                                           cutoffs, from_index, RANK_S);
+    }
+    free(cutoffs);
+    ev_free(&events);
+}
+
+static void run_anchored_scan(RibbitCore *c) {
+    EVec events;
+    ev_init(&events);
+    for (i32 didx = 0; didx < c->nmotifs; didx++) {
+        i64 m = c->min_motif + didx;
+        windowed_emissions(c, &c->q6_s[didx], &c->q6_e[didx], m, didx, &events);
+    }
+    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+
+    i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
+    for (i32 d = 0; d < c->nmotifs; d++) {
+        i64 m = c->min_motif + d;
+        i64 cut = m > 6 ? m : 10;
+        if (m >= 10) cut = (i64)(0.9 * (double)m);
+        cutoffs[d] = cut;
+    }
+    FromIdx from = {0, 0};
+    for (i64 k = 0; k < events.n; k++) {
+        i64 m = c->min_motif + events.d[k].didx;
+        if (events.d[k].pos < c->L) {
+            from = add_seed_anchored(c, events.d[k].s, events.d[k].e, m,
+                                     cutoffs, from, RANK_A);
+        } else {
+            /* QUIRK: in the end-of-sequence flush only the "save both
+             * separately" first call updates from_indices
+             * (parse_anchored_shiftxor.cpp:713 vs 688/697/706/717) */
+            FromIdx nf = add_seed_anchored(c, events.d[k].s, events.d[k].e, m,
+                                           cutoffs, from, RANK_A);
+            if (events.d[k].sub == 0 && k + 1 < events.n &&
+                events.d[k + 1].didx == events.d[k].didx &&
+                events.d[k + 1].sub == 1)
+                from = nf;
+        }
+    }
+    free(cutoffs);
+    ev_free(&events);
+}
+
+/* final 3-pointer merge by seed start (pipeline.py / fasta_utils.cpp:181-242);
+ * emits seeds passing the len >= 0.9*m filter, skipping RANK_N */
+static void final_merge(RibbitCore *c) {
+    i64 pi = 0, si = 0, ai = 0;
+    SeedList *P = &c->perfect, *S = &c->substut, *A = &c->anchored;
+    i64 smallest_type = -1;
+    while (pi < P->n || si < S->n || ai < A->n) {
+        i64 smallest = ((i64)1 << 62);
+        if (pi < P->n && smallest > P->d[pi].start) {
+            smallest = P->d[pi].start;
+            smallest_type = RANK_P;
+        }
+        if (si < S->n && smallest > S->d[si].start) {
+            smallest = S->d[si].start;
+            smallest_type = RANK_S;
+        }
+        if (ai < A->n && smallest > A->d[ai].start) {
+            smallest = A->d[ai].start;
+            smallest_type = RANK_A;
+        }
+        Seed sd;
+        if (smallest_type == RANK_P) sd = P->d[pi++];
+        else if (smallest_type == RANK_S) sd = S->d[si++];
+        else sd = A->d[ai++];
+
+        if (sd.rank == RANK_N) continue;
+        if ((double)(sd.end - sd.start) >= 0.9 * (double)sd.mlen)
+            sl_push(&c->final_seeds, sd);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* public API (ctypes)                                                */
+/* ------------------------------------------------------------------ */
+
+RibbitCore *ribbit_core_create(const int8_t *code, const uint8_t *nmask,
+                               i64 L, i32 min_motif, i32 max_motif) {
+    RibbitCore *c = (RibbitCore *)calloc(1, sizeof(RibbitCore));
+    c->code = code;
+    c->nmask = nmask;
+    c->L = L;
+    c->min_motif = min_motif;
+    c->max_motif = max_motif;
+    c->min_shift = min_motif > 2 ? min_motif - 2 : 1;
+    c->max_shift = max_motif + 2;
+    c->nshifts = c->max_shift - c->min_shift + 1;
+    c->nmotifs = max_motif - min_motif + 1;
+    sl_init(&c->perfect);
+    sl_init(&c->substut);
+    sl_init(&c->anchored);
+    sl_init(&c->final_seeds);
+    return c;
+}
+
+/* inject externally produced events (e.g. from the TPU scan kernel):
+ * flattened per-channel run arrays with offsets[nmotifs+1] */
+void ribbit_core_set_events(RibbitCore *c,
+                            const i64 *pf_s, const i64 *pf_e, const i64 *pf_off,
+                            const i64 *q7_s, const i64 *q7_e, const i64 *q7_off,
+                            const i64 *q6_s, const i64 *q6_e, const i64 *q6_off) {
+    i32 nm = c->nmotifs;
+    c->perf_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->perf_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->q7_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->q7_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->q6_s = (IVec *)calloc(nm, sizeof(IVec));
+    c->q6_e = (IVec *)calloc(nm, sizeof(IVec));
+    for (i32 d = 0; d < nm; d++) {
+        for (i64 k = pf_off[d]; k < pf_off[d + 1]; k++) {
+            iv_push(&c->perf_s[d], pf_s[k]);
+            iv_push(&c->perf_e[d], pf_e[k]);
+        }
+        for (i64 k = q7_off[d]; k < q7_off[d + 1]; k++) {
+            iv_push(&c->q7_s[d], q7_s[k]);
+            iv_push(&c->q7_e[d], q7_e[k]);
+        }
+        for (i64 k = q6_off[d]; k < q6_off[d + 1]; k++) {
+            iv_push(&c->q6_s[d], q6_s[k]);
+            iv_push(&c->q6_e[d], q6_e[k]);
+        }
+    }
+    /* N-free segments */
+    iv_init(&c->seg_a);
+    iv_init(&c->seg_b);
+    i64 p = 0;
+    while (p < c->L) {
+        while (p < c->L && c->nmask[p]) p++;
+        if (p >= c->L) break;
+        i64 s = p;
+        while (p < c->L && !c->nmask[p]) p++;
+        iv_push(&c->seg_a, s);
+        iv_push(&c->seg_b, p);
+    }
+    c->events_ready = 1;
+}
+
+i64 ribbit_core_scan(RibbitCore *c) {
+    const char *timing = getenv("RIBBIT_CORE_TIMING");
+    struct timespec t0, t1;
+#define TICK(label) do { if (timing) { \
+    clock_gettime(CLOCK_MONOTONIC, &t1); \
+    fprintf(stderr, "[core] %-12s %.3fs\n", label, \
+            (double)(t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec)); \
+    t0 = t1; } } while (0)
+    if (timing) clock_gettime(CLOCK_MONOTONIC, &t0);
+    if (!c->events_ready) generate_events(c);
+    TICK("generate");
+    c->overlay_phase = 0;
+    run_perfect_scan(c);
+    TICK("perfect");
+    run_substitution_scan(c);
+    TICK("substitution");
+    c->overlay_phase = 1;
+    run_anchored_scan(c);
+    TICK("anchored");
+    final_merge(c);
+    TICK("merge");
+#undef TICK
+    return c->final_seeds.n;
+}
+
+void ribbit_core_get_seeds(RibbitCore *c, i64 *out) {
+    for (i64 i = 0; i < c->final_seeds.n; i++) {
+        out[i * 4 + 0] = c->final_seeds.d[i].start;
+        out[i * 4 + 1] = c->final_seeds.d[i].end;
+        out[i * 4 + 2] = c->final_seeds.d[i].mlen;
+        out[i * 4 + 3] = c->final_seeds.d[i].rank;
+    }
+}
+
+i64 ribbit_core_overlay_bitcount(RibbitCore *c, i32 midx, i64 a, i64 b) {
+    return overlay_bitcount(c, midx, a, b);
+}
+
+i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b) {
+    return overlay_longest_run(c, midx, a, b);
+}
+
+void ribbit_core_destroy(RibbitCore *c) {
+    if (!c) return;
+    if (c->perf_s) {
+        for (i32 d = 0; d < c->nmotifs; d++) {
+            iv_free(&c->perf_s[d]); iv_free(&c->perf_e[d]);
+            iv_free(&c->q7_s[d]); iv_free(&c->q7_e[d]);
+            iv_free(&c->q6_s[d]); iv_free(&c->q6_e[d]);
+        }
+        free(c->perf_s); free(c->perf_e);
+        free(c->q7_s); free(c->q7_e);
+        free(c->q6_s); free(c->q6_e);
+    }
+    iv_free(&c->seg_a);
+    iv_free(&c->seg_b);
+    for (int i = 0; i < 19; i++) iv_free(&c->scr[i]);
+    sl_free(&c->perfect);
+    sl_free(&c->substut);
+    sl_free(&c->anchored);
+    sl_free(&c->final_seeds);
+    free(c);
+}

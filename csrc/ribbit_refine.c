@@ -1,0 +1,1019 @@
+/* ribbit_refine: native seed refinement (motif inference, alignment vs a
+ * pseudo-perfect repeat, CIGAR processing, emission, flank recursion).
+ *
+ * Exact-semantics C port of the oracle-validated Python modules
+ * ribbit_tpu/refine.py + cigarproc.py + bitutils.py + umap_order.py, which
+ * are themselves rule-for-rule ports of the reference:
+ *   processSeed                  parse_seed.cpp:318-464
+ *   processSeedMotifWise         parse_smallmotif_seed.cpp:190-288
+ *   possibleMotifs               parse_smallmotif_seed.cpp:76-188
+ *   calculateMotifUnits          parse_smallmotif_seed.cpp:26-72
+ *   mostFrequentMotif            parse_seed.cpp:259-315
+ *   calculateRepeatClass         bitseq_utils.cpp:185-221
+ *   calculateAtomicity(+Long)    bitseq_utils.cpp:42-183
+ *   processCIGARWithPruning      process_cigar.cpp:126-251
+ *   processCIGARMotifWise        process_cigar.cpp:254-336
+ *   libstdc++ unordered_map iteration order (emission-order dependence of
+ *   parse_smallmotif_seed.cpp:177-187)
+ *
+ * All purity arithmetic is C `float` to match the reference's float and the
+ * %.6g stream formatting.  Motifs longer than 32 bases are handled as base
+ * arrays (the Python spec uses bignums; equality on base arrays is the same
+ * relation).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdio.h>
+#include <math.h>
+
+typedef int64_t i64;
+typedef int32_t i32;
+
+#define PURITY_THRESHOLD 0.85f
+#define CONTINUOUS_ONES_THRESHOLD 3
+
+/* from ribbit_align.c */
+int ribbit_align(const int8_t *read, i32 R, const int8_t *ref, i32 C,
+                 i32 *out, char *cigar_buf, i32 cigar_cap);
+/* from ribbit_vote.c */
+i32 ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
+                       i32 total_len, i32 seed_start,
+                       i32 seed_sequence_length, i32 m);
+/* from ribbit_core.c */
+typedef struct RibbitCore RibbitCore;
+i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b);
+
+/* ------------------------------------------------------------------ */
+/* output buffer                                                      */
+/* ------------------------------------------------------------------ */
+
+typedef struct { char *d; i64 n, cap; } StrBuf;
+
+static void sb_reserve(StrBuf *b, i64 extra) {
+    if (b->n + extra + 1 > b->cap) {
+        b->cap = b->cap ? b->cap * 2 : 4096;
+        while (b->n + extra + 1 > b->cap) b->cap *= 2;
+        b->d = (char *)realloc(b->d, (size_t)b->cap);
+    }
+}
+
+static void sb_append(StrBuf *b, const char *s, i64 len) {
+    sb_reserve(b, len);
+    memcpy(b->d + b->n, s, (size_t)len);
+    b->n += len;
+    b->d[b->n] = 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* bit utilities (bitutils.py)                                        */
+/* ------------------------------------------------------------------ */
+
+/* canonical repeat class: lexicographically smallest 2-bit cyclic rotation
+ * (m <= 16 so u64 is enough) */
+static uint64_t repeat_class(uint64_t motif, i32 m) {
+    uint64_t mask = (m >= 32) ? ~0ULL : ((1ULL << (2 * m)) - 1);
+    uint64_t best = motif, cycle;
+    for (i32 i = 0; i < m - 1; i++) {
+        cycle = ((motif >> (2 * (m - (i + 1)))) | (motif << (2 * (i + 1)))) & mask;
+        if (cycle < best) best = cycle;
+    }
+    return best;
+}
+
+/* atomicity on an integer motif (m <= 16): smallest f dividing m with
+ * motif f-periodic */
+static i32 atomicity_int(uint64_t motif, i32 m) {
+    for (i32 f = 1; f <= m / 2; f++) {
+        if (m % f != 0) continue;
+        uint64_t mask = (1ULL << (2 * (m - f))) - 1;
+        if ((motif >> (2 * f)) == (motif & mask)) return f;
+    }
+    return m;
+}
+
+/* atomicity on a base array: bases f-periodic (bases[i]==bases[i+f]) */
+static i32 atomicity_bases(const int8_t *bases, i32 m, i32 require_divisor) {
+    i32 limit = require_divisor ? m / 2 : m - m / 3 - 1;
+    for (i32 f = 1; f <= limit; f++) {
+        if (require_divisor && m % f != 0) continue;
+        int ok = 1;
+        for (i32 i = 0; i + f < m; i++)
+            if (bases[i] != bases[i + f]) { ok = 0; break; }
+        if (ok) return f;
+    }
+    return m;
+}
+
+static void motif_int_to_bases(uint64_t motif, i32 m, int8_t *out) {
+    for (i32 i = 0; i < m; i++)
+        out[i] = (int8_t)((motif >> (2 * (m - 1 - i))) & 3);
+}
+
+static const char BASE_CHARS[4] = {'A', 'C', 'G', 'T'};
+
+/* ------------------------------------------------------------------ */
+/* libstdc++ unordered_map iteration order (umap_order.py)            */
+/* ------------------------------------------------------------------ */
+
+static const i64 UMAP_PRIMES[] = {
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67,
+    71, 73, 79, 83, 89, 97, 103, 109, 113, 127, 137, 139, 149, 157, 167, 179,
+    193, 199, 211, 227, 241, 257, 277, 293, 313, 337, 359, 383, 409, 439,
+    467, 503, 541, 577, 619, 661, 709, 761, 823, 887, 953, 1031, 1109, 1193,
+    1289, 1381, 1493, 1613, 1741, 1879, 2029, 2179, 2357, 2549, 2753, 2971,
+    3209, 3469, 3739, 4027, 4349, 4703, 5087, 5503, 5953, 6427, 6949, 7517,
+    8123, 8783, 9497, 10273, 11113, 12011, 12983, 14033, 15173, 16411, 17749,
+    19183, 20753, 22447, 24281, 26267, 28411, 30727, 33223, 35933, 38873,
+    42043, 45481, 49201, 53201, 57557, 62233, 67307, 72817, 78779, 85229,
+    92203, 99733, 107897, 116731, 126271, 136607, 147793, 159871, 172933,
+    187091, 202409, 218971, 236897, 256279, 277261, 299951, 324503, 351061,
+    379787, 410857, 444487, 480881, 520241, 562841, 608903, 658753, 712697,
+    771049, 834181, 902483, 976369};
+#define N_UMAP_PRIMES ((i64)(sizeof(UMAP_PRIMES) / sizeof(UMAP_PRIMES[0])))
+
+static i64 next_table_prime(i64 n) {
+    i64 lo = 0, hi = N_UMAP_PRIMES;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (UMAP_PRIMES[mid] < n) lo = mid + 1; else hi = mid;
+    }
+    if (lo < N_UMAP_PRIMES) return UMAP_PRIMES[lo];
+    i64 x = (n % 2) ? n : n + 1;
+    for (;;) {
+        int prime = 1;
+        for (i64 d = 3; d * d <= x; d += 2)
+            if (x % d == 0) { prime = 0; break; }
+        if (prime) return x;
+        x += 2;
+    }
+}
+
+/* simple open-addressing map bucket -> node index (buckets are sparse) */
+typedef struct { i64 *keys, *vals; i64 cap, n; } BktMap;
+
+static void bm_init(BktMap *m, i64 cap_hint) {
+    i64 cap = 16;
+    while (cap < cap_hint * 2) cap *= 2;
+    m->cap = cap;
+    m->n = 0;
+    m->keys = (i64 *)malloc((size_t)cap * sizeof(i64));
+    m->vals = (i64 *)malloc((size_t)cap * sizeof(i64));
+    for (i64 i = 0; i < cap; i++) m->keys[i] = -1;
+}
+static void bm_clear(BktMap *m) {
+    for (i64 i = 0; i < m->cap; i++) m->keys[i] = -1;
+    m->n = 0;
+}
+static void bm_free(BktMap *m) { free(m->keys); free(m->vals); }
+static i64 *bm_slot(BktMap *m, i64 key) {     /* returns &val or NULL */
+    i64 h = (i64)(((uint64_t)key * 0x9E3779B97F4A7C15ULL) >> 1) % m->cap;
+    for (;;) {
+        if (m->keys[h] == -1) return NULL;
+        if (m->keys[h] == key) return &m->vals[h];
+        h = (h + 1) & (m->cap - 1);
+    }
+}
+static void bm_put(BktMap *m, i64 key, i64 val) {
+    i64 h = (i64)(((uint64_t)key * 0x9E3779B97F4A7C15ULL) >> 1) % m->cap;
+    for (;;) {
+        if (m->keys[h] == -1 || m->keys[h] == key) {
+            if (m->keys[h] == -1) { m->keys[h] = key; m->n++; }
+            m->vals[h] = val;
+            return;
+        }
+        h = (h + 1) & (m->cap - 1);
+    }
+}
+
+/* iteration order of libstdc++ unordered_map<uint,V> after inserting
+ * distinct keys in order (identity hash, max_load_factor 1.0) */
+static void libstdcxx_order(const i64 *keys, i64 nkeys, i64 *out) {
+    if (nkeys == 0) return;
+    /* nodes: key + next-index; sentinel = index -1 via head */
+    i64 *node_key = (i64 *)malloc((size_t)nkeys * sizeof(i64));
+    i64 *node_nxt = (i64 *)malloc((size_t)nkeys * sizeof(i64));
+    i64 head = -1;              /* sentinel.nxt */
+    BktMap buckets;             /* bucket -> node index BEFORE bucket's first;
+                                   -2 encodes the sentinel */
+    bm_init(&buckets, nkeys + 8);
+    i64 nbkt = 1, next_resize = 0, size = 0;
+
+    for (i64 ki = 0; ki < nkeys; ki++) {
+        i64 key = keys[ki];
+        if (size + 1 > next_resize) {
+            i64 min_bkts = size + 1;
+            if (next_resize == 0 && min_bkts < 11) min_bkts = 11;
+            if (min_bkts >= nbkt) {
+                i64 want = min_bkts + 1 > nbkt * 2 ? min_bkts + 1 : nbkt * 2;
+                i64 new_nbkt = next_table_prime(want);
+                /* rehash: walk list in iteration order re-inserting */
+                nbkt = new_nbkt;
+                bm_clear(&buckets);
+                i64 p = head;
+                head = -1;
+                i64 bbegin_bkt = -1;
+                while (p != -1) {
+                    i64 nxt = node_nxt[p];
+                    i64 b = node_key[p] % nbkt;
+                    i64 *before = bm_slot(&buckets, b);
+                    if (before == NULL) {
+                        node_nxt[p] = head;
+                        head = p;
+                        bm_put(&buckets, b, -2);
+                        if (node_nxt[p] != -1)
+                            bm_put(&buckets, bbegin_bkt, p);
+                        bbegin_bkt = b;
+                    } else {
+                        i64 bef = *before;
+                        if (bef == -2) {
+                            node_nxt[p] = head;
+                            head = p;
+                        } else {
+                            node_nxt[p] = node_nxt[bef];
+                            node_nxt[bef] = p;
+                        }
+                    }
+                    p = nxt;
+                }
+                next_resize = nbkt;
+            } else {
+                next_resize = nbkt;
+            }
+        }
+
+        i64 b = key % nbkt;
+        i64 node = size;        /* node index == insertion order */
+        node_key[node] = key;
+        i64 *before = bm_slot(&buckets, b);
+        if (before != NULL) {
+            i64 bef = *before;
+            if (bef == -2) {
+                node_nxt[node] = head;
+                head = node;
+            } else {
+                node_nxt[node] = node_nxt[bef];
+                node_nxt[bef] = node;
+            }
+        } else {
+            i64 front_bkt = head != -1 ? node_key[head] % nbkt : -1;
+            node_nxt[node] = head;
+            head = node;
+            if (node_nxt[node] != -1)
+                bm_put(&buckets, front_bkt, node);
+            bm_put(&buckets, b, -2);
+        }
+        size++;
+    }
+
+    i64 p = head, k = 0;
+    while (p != -1) {
+        out[k++] = node_key[p];
+        p = node_nxt[p];
+    }
+    bm_free(&buckets);
+    free(node_key);
+    free(node_nxt);
+}
+
+/* ------------------------------------------------------------------ */
+/* CIGAR processing (cigarproc.py / process_cigar.cpp)                */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    i64 repeat_start, repeat_end, alignment_length, match_units;
+    float purity;
+    char *cigar;        /* malloc'd */
+} CigarResult;
+
+typedef struct { i64 len; char op; } COp;
+
+static i64 cigar_split(const char *cigar, COp **out) {
+    i64 n = 0, cap = 16;
+    COp *ops = (COp *)malloc((size_t)cap * sizeof(COp));
+    i64 num = 0;
+    int have = 0;
+    for (const char *p = cigar; *p; p++) {
+        if (*p >= '0' && *p <= '9') {
+            num = num * 10 + (*p - '0');
+            have = 1;
+        } else {
+            if (n == cap) { cap *= 2; ops = (COp *)realloc(ops, (size_t)cap * sizeof(COp)); }
+            ops[n].len = have ? num : 0;
+            ops[n].op = *p;
+            n++;
+            num = 0;
+            have = 0;
+        }
+    }
+    *out = ops;
+    return n;
+}
+
+/* calculateTrimEdges (process_cigar.cpp:34-86) */
+static void calculate_trim_edges(float *purity, const i64 *ccigar_lengths,
+                                 i64 ncc, i64 *alignment_length,
+                                 i64 motif_length, const i64 *minimum_length,
+                                 i64 min_len_size, i64 *trim_l, i64 *trim_r) {
+    i64 trim_length = 0;
+    *trim_l = 0;
+    *trim_r = 0;
+    i64 min_len = (motif_length >= 0 && motif_length < min_len_size)
+                  ? minimum_length[motif_length] : 0;
+
+    while (*purity < PURITY_THRESHOLD) {
+        trim_length += 1;
+        float max_purity = 0.0f;
+        i64 max_alength = 0;
+
+        for (i64 i = 0; i <= trim_length; i++) {
+            i64 pair_match = 0, pair_alignment = 0;
+            for (i64 j = 2 * i; j <= (ncc - 1) - 2 * (trim_length - i); j++) {
+                if (j % 2 == 0) pair_match += ccigar_lengths[j];
+                pair_alignment += ccigar_lengths[j];
+            }
+            float pair_purity = pair_alignment
+                ? (float)pair_match / (float)pair_alignment
+                : nanf("");
+            if (pair_purity >= PURITY_THRESHOLD) {
+                if (max_alength < pair_alignment) {
+                    max_purity = pair_purity;
+                    max_alength = pair_alignment;
+                    *trim_l = i;
+                    *trim_r = trim_length - i;
+                }
+            }
+        }
+        if (max_purity > *purity) {
+            *purity = max_purity;
+            *alignment_length = max_alength;
+        }
+        if (*alignment_length < min_len) break;
+    }
+}
+
+/* processCIGARWithPruning (process_cigar.cpp:126-251); motif_length is the
+ * atomicity at the call sites */
+static CigarResult process_cigar_with_pruning(i64 seed_start,
+                                              i64 seed_sequence_length,
+                                              const char *cigar,
+                                              i64 motif_length,
+                                              const i64 *minimum_length,
+                                              i64 min_len_size) {
+    COp *ops;
+    i64 nops = cigar_split(cigar, &ops);
+
+    CigarResult r;
+    r.repeat_start = seed_start;
+    r.repeat_end = seed_start + seed_sequence_length;
+    r.alignment_length = 0;
+    r.match_units = 0;
+    i64 matches = 0;
+
+    i64 *ccigar_lengths = (i64 *)malloc((size_t)(nops + 1) * sizeof(i64));
+    i64 *ccigar_indices = (i64 *)malloc((size_t)(nops + 1) * sizeof(i64));
+    i64 ncc = 0, nci = 0;
+    int mismatch_continue = 0;
+    i64 start_soft_clip = 0;
+
+    StrBuf nc = {NULL, 0, 0};
+    char tmp[32];
+
+    for (i64 cidx = 0; cidx < nops; cidx++) {
+        i64 clength = ops[cidx].len;
+        char ctype = ops[cidx].op;
+        if (ctype == 'S') {
+            if (cidx == 0) {
+                r.repeat_start += clength;
+                start_soft_clip = clength;
+            } else {
+                r.repeat_end -= clength;
+            }
+        } else if (ctype == 'X' || ctype == 'I' || ctype == 'D') {
+            r.alignment_length += clength;
+            if (mismatch_continue) ccigar_lengths[ncc - 1] += clength;
+            else ccigar_lengths[ncc++] = clength;
+            ccigar_indices[nci++] = ncc - 1;
+            mismatch_continue = 1;
+            sb_append(&nc, tmp, snprintf(tmp, sizeof tmp, "%lld%c",
+                                         (long long)clength, ctype));
+        } else if (ctype == '=' || ctype == 'M') {
+            r.alignment_length += clength;
+            matches += clength;
+            r.match_units += clength / motif_length;
+            ccigar_lengths[ncc++] = clength;
+            ccigar_indices[nci++] = ncc - 1;
+            mismatch_continue = 0;
+            sb_append(&nc, tmp, snprintf(tmp, sizeof tmp, "%lld%c",
+                                         (long long)clength, ctype));
+        }
+    }
+
+    r.purity = r.alignment_length
+        ? (float)matches / (float)r.alignment_length : nanf("");
+
+    if (r.purity < PURITY_THRESHOLD) {
+        i64 trim_l, trim_r;
+        calculate_trim_edges(&r.purity, ccigar_lengths, ncc,
+                             &r.alignment_length, motif_length,
+                             minimum_length, min_len_size, &trim_l, &trim_r);
+        free(nc.d);
+        nc.d = NULL; nc.n = 0; nc.cap = 0;
+        matches = 0;
+        r.match_units = 0;
+
+        for (i64 i = 0; i < nci; i++) {
+            i64 ccidx = ccigar_indices[i];
+            i64 clength;
+            char ctype;
+            if (start_soft_clip) {
+                clength = ops[i + 1].len;
+                ctype = ops[i + 1].op;
+            } else {
+                clength = ops[i].len;
+                ctype = ops[i].op;
+            }
+            if (ccidx < 2 * trim_l) {
+                if (ctype != 'D') r.repeat_start += clength;
+            } else if (ccidx <= ncc - 1 - 2 * trim_r) {
+                sb_append(&nc, tmp, snprintf(tmp, sizeof tmp, "%lld%c",
+                                             (long long)clength, ctype));
+                if (ctype == 'M' || ctype == '=') {
+                    matches += clength;
+                    r.match_units += clength / motif_length;
+                }
+            } else {
+                if (ctype != 'D') r.repeat_end -= clength;
+            }
+        }
+    }
+    r.cigar = nc.d ? nc.d : (char *)calloc(1, 1);
+    free(ops);
+    free(ccigar_lengths);
+    free(ccigar_indices);
+    return r;
+}
+
+/* processCIGARMotifWise (process_cigar.cpp:254-336): purity only, no trim */
+static CigarResult process_cigar_motifwise(i64 seed_start,
+                                           i64 seed_sequence_length,
+                                           const char *cigar,
+                                           i64 motif_length) {
+    COp *ops;
+    i64 nops = cigar_split(cigar, &ops);
+    CigarResult r;
+    r.repeat_start = seed_start;
+    r.repeat_end = seed_start + seed_sequence_length;
+    r.alignment_length = 0;
+    r.match_units = 0;
+    i64 matches = 0;
+    StrBuf nc = {NULL, 0, 0};
+    char tmp[32];
+
+    for (i64 cidx = 0; cidx < nops; cidx++) {
+        i64 clength = ops[cidx].len;
+        char ctype = ops[cidx].op;
+        if (ctype == 'S') {
+            if (cidx == 0) r.repeat_start += clength;
+            else r.repeat_end -= clength;
+        } else if (ctype == 'X' || ctype == 'I' || ctype == 'D') {
+            r.alignment_length += clength;
+            sb_append(&nc, tmp, snprintf(tmp, sizeof tmp, "%lld%c",
+                                         (long long)clength, ctype));
+        } else if (ctype == '=' || ctype == 'M') {
+            r.alignment_length += clength;
+            matches += clength;
+            r.match_units += clength / motif_length;
+            sb_append(&nc, tmp, snprintf(tmp, sizeof tmp, "%lld%c",
+                                         (long long)clength, ctype));
+        }
+    }
+    r.purity = r.alignment_length
+        ? (float)matches / (float)r.alignment_length : nanf("");
+    r.cigar = nc.d ? nc.d : (char *)calloc(1, 1);
+    free(ops);
+    return r;
+}
+
+/* ------------------------------------------------------------------ */
+/* refinement context                                                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    RibbitCore *core;               /* overlay longest-run queries */
+    const int8_t *code;             /* 2-bit codes, N -> 0 */
+    const uint8_t *nmask;
+    const int8_t *translated;       /* SSW translation of raw chars (N -> 4) */
+    i64 L;
+    i32 min_motif, max_motif, min_shift;
+    const i64 *minimum_length;      /* [max_motif+1], 0 default */
+    const i64 *perfect_units;       /* [max_motif+1], 0 default */
+    i64 tbl_size;
+    const char *seq_id;
+    i64 seq_id_len;
+    StrBuf *out;
+} RefineCtx;
+
+static i64 min_length_of(const RefineCtx *x, i64 m) {
+    return (m >= 0 && m < x->tbl_size) ? x->minimum_length[m] : 0;
+}
+static i64 perfect_units_of(const RefineCtx *x, i64 m) {
+    return (m >= 0 && m < x->tbl_size) ? x->perfect_units[m] : 0;
+}
+
+/* emit one BED line (parse_seed.cpp:434-437 column contract) */
+static void emit_line(RefineCtx *x, i64 start, i64 end, const char *motif,
+                      i64 atomicity, i64 motif_length, i64 length, i64 units,
+                      float purity, i64 seed_type, const char *cigar) {
+    char head[256];
+    int n = snprintf(head, sizeof head,
+                     "%lld\t%lld\t%s\t%lld | %lld\t%lld\t%lld\t%.6g\t+\tSEED-%lld\t",
+                     (long long)start, (long long)end, motif,
+                     (long long)atomicity, (long long)motif_length,
+                     (long long)length, (long long)units, (double)purity,
+                     (long long)seed_type);
+    sb_append(x->out, x->seq_id, x->seq_id_len);
+    sb_append(x->out, "\t", 1);
+    sb_append(x->out, head, n);
+    sb_append(x->out, cigar, (i64)strlen(cigar));
+    sb_append(x->out, "\n", 1);
+}
+
+/* _n_trimmed_length (refine.py / parse_seed.cpp:349-354) */
+static i64 n_trimmed_length(const RefineCtx *x, i64 seed_start, i64 seed_end,
+                            i64 motif_length) {
+    i64 ssl = seed_end - seed_start + motif_length;
+    i64 lim = seed_end + motif_length;
+    if (lim > x->L) lim = x->L;
+    for (i64 p = seed_start; p < lim; p++)
+        if (x->nmask[p]) return p - seed_start;
+    return ssl;
+}
+
+/* int ppr = ssl + m + ((1-PURITY_THRESHOLD)*ssl), C++ float arithmetic
+ * (parse_seed.cpp:381) */
+static i64 ppr_length_of(i64 ssl, i64 m) {
+    float f = (1.0f - PURITY_THRESHOLD) * (float)ssl;
+    return (i64)((float)(ssl + m) + f);
+}
+
+/* build pseudo-perfect repeat codes by tiling motif chars then translating;
+ * motif chars are ACGT so translation is the 0..3 code directly */
+static int8_t *build_ppr(const int8_t *motif_bases, i64 motif_len, i64 ppr_len) {
+    int8_t *ppr = (int8_t *)malloc((size_t)(ppr_len > 0 ? ppr_len : 1));
+    for (i64 i = 0; i < ppr_len; i++) ppr[i] = motif_bases[i % motif_len];
+    return ppr;
+}
+
+/* run the SSW alignment; returns malloc'd cigar (NULL = "alignment is None"
+ * i.e. a hard error, empty string = no cigar) plus the out ints */
+static char *run_align(const int8_t *read, i64 read_len, const int8_t *ref,
+                       i64 ref_len, i32 *out6) {
+    i64 cap = 4 * (read_len + ref_len) + 64;
+    char *buf = (char *)malloc((size_t)cap);
+    int rc = ribbit_align(read, (i32)read_len, ref, (i32)ref_len, out6,
+                          buf, (i32)cap);
+    if (rc < 0) { free(buf); return NULL; }
+    return buf;
+}
+
+/* ------------------------------------------------------------------ */
+/* mostFrequentMotif (parse_seed.cpp:259-315): m <= 10 window hashing */
+/* ------------------------------------------------------------------ */
+
+static uint64_t most_frequent_motif(const RefineCtx *x, i64 seed_start,
+                                    i64 ssl, i64 m) {
+    uint64_t mask = (1ULL << (2 * m)) - 1;
+    i64 seed_end = seed_start + ssl;
+    if (seed_end > x->L - 1) seed_end = x->L - 1;
+    uint64_t window = 0;
+    i64 max_freq = 0;
+    uint64_t maxfreq_motif = 0;
+    double guard = 0.9 * (double)m - 1;
+    BktMap counts;
+    bm_init(&counts, 64);
+    for (i64 j = seed_start; j < seed_end; j++) {
+        window = ((window << 2) | (uint64_t)x->code[j]) & mask;
+        if ((double)(j - seed_start) >= guard) {
+            i64 *slot = bm_slot(&counts, (i64)window);
+            i64 cnt = slot ? *slot + 1 : 1;
+            if (counts.n * 2 + 2 >= counts.cap) {
+                /* grow: rebuild */
+                BktMap nm2;
+                bm_init(&nm2, counts.cap);
+                for (i64 t = 0; t < counts.cap; t++)
+                    if (counts.keys[t] != -1)
+                        bm_put(&nm2, counts.keys[t], counts.vals[t]);
+                bm_free(&counts);
+                counts = nm2;
+            }
+            bm_put(&counts, (i64)window, cnt);
+            if (cnt > max_freq) {
+                max_freq = cnt;
+                maxfreq_motif = window;
+            }
+        }
+    }
+    bm_free(&counts);
+    return maxfreq_motif;
+}
+
+/* ------------------------------------------------------------------ */
+/* possibleMotifs (parse_smallmotif_seed.cpp:76-188)                  */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    i64 *motifs, *starts, *ends;
+    i64 n, cap;
+} MotifCands;
+
+static void mc_push(MotifCands *mc, i64 motif, i64 s, i64 e) {
+    if (mc->n == mc->cap) {
+        mc->cap = mc->cap ? mc->cap * 2 : 16;
+        mc->motifs = (i64 *)realloc(mc->motifs, (size_t)mc->cap * sizeof(i64));
+        mc->starts = (i64 *)realloc(mc->starts, (size_t)mc->cap * sizeof(i64));
+        mc->ends = (i64 *)realloc(mc->ends, (size_t)mc->cap * sizeof(i64));
+    }
+    mc->motifs[mc->n] = motif;
+    mc->starts[mc->n] = s;
+    mc->ends[mc->n] = e;
+    mc->n++;
+}
+
+typedef struct {
+    i64 new_motif_start, m_start, m_end, m_units, m_gaps, m_gapsize;
+    uint64_t m_next;
+    i64 key;
+} ClassState;
+
+static MotifCands possible_motifs(const RefineCtx *x, i64 seed_start,
+                                  i64 ssl, i64 m) {
+    uint64_t mask = (1ULL << (2 * m)) - 1;
+    i64 seed_end = seed_start + ssl;
+    if (seed_end > x->L - 1) seed_end = x->L - 1;
+
+    MotifCands mc = {NULL, NULL, NULL, 0, 0};
+    i64 min_len = min_length_of(x, m);
+    i64 perf_units = perfect_units_of(x, m);
+    double guard = 0.9 * (double)m - 1;
+    uint64_t window = 0;
+
+    /* class -> slot in states[]; slots appended in first-seen order */
+    BktMap slots;
+    bm_init(&slots, 256);
+    ClassState *states = NULL;
+    i64 nstates = 0, cap_states = 0;
+
+    for (i64 j = seed_start; j < seed_end; j++) {
+        window = ((window << 2) | (uint64_t)x->code[j]) & mask;
+        i64 motif = (i64)repeat_class(window, (i32)m);
+        i64 wstart = j - (m - 1);
+        i64 wend = j + 1;
+
+        if ((double)(j - seed_start) >= guard) {
+            uint64_t rotated = ((window << 2) | (window >> ((m - 1) * 2))) & mask;
+            i64 *slot = bm_slot(&slots, motif);
+            if (slot == NULL) {
+                if (nstates == cap_states) {
+                    cap_states = cap_states ? cap_states * 2 : 64;
+                    states = (ClassState *)realloc(
+                        states, (size_t)cap_states * sizeof(ClassState));
+                }
+                ClassState *st = &states[nstates];
+                st->key = motif;
+                st->new_motif_start = wstart;
+                st->m_start = wstart;
+                st->m_end = wend;
+                st->m_units = 1;
+                st->m_gaps = 0;
+                st->m_gapsize = 0;
+                st->m_next = rotated;
+                if (slots.n * 2 + 2 >= slots.cap) {
+                    BktMap nm2;
+                    bm_init(&nm2, slots.cap);
+                    for (i64 t = 0; t < slots.cap; t++)
+                        if (slots.keys[t] != -1)
+                            bm_put(&nm2, slots.keys[t], slots.vals[t]);
+                    bm_free(&slots);
+                    slots = nm2;
+                }
+                bm_put(&slots, motif, nstates);
+                nstates++;
+            } else {
+                ClassState *st = &states[*slot];
+                if (wstart - st->m_end > 3 * m) {
+                    if (st->m_end - st->m_start >= min_len &&
+                        st->m_units >= perf_units)
+                        mc_push(&mc, motif, st->m_start, st->m_end);
+                    st->m_start = wstart;
+                    st->m_end = wend;
+                    st->m_units = 1;
+                    st->m_gaps = 0;
+                    st->m_gapsize = 0;
+                    st->m_next = rotated;
+                    st->new_motif_start = wstart;
+                } else {
+                    if (st->m_end < j) {
+                        i64 gap = j - st->m_end;
+                        if (gap < m) {
+                            st->m_gaps += 1;
+                            st->m_gapsize += 1;
+                        } else if (gap % m > 0) {
+                            st->m_gaps += gap / m + 1;
+                            st->m_gapsize += gap + 1;
+                        } else {
+                            st->m_gaps += gap / m;
+                            st->m_gapsize += gap;
+                        }
+                    } else if (st->m_end == j && st->m_next != window) {
+                        st->m_gaps += 1;
+                        st->m_gapsize += 1;
+                    }
+                    if (wstart - st->new_motif_start >= m) {
+                        st->new_motif_start = wstart;
+                        st->m_units += 1;
+                    }
+                    st->m_end = wend;
+                    st->m_next = rotated;
+                }
+            }
+        }
+    }
+
+    /* leftovers in libstdc++ unordered_map iteration order
+     * (parse_smallmotif_seed.cpp:177-187) */
+    if (nstates > 0) {
+        i64 *keys = (i64 *)malloc((size_t)nstates * sizeof(i64));
+        i64 *order = (i64 *)malloc((size_t)nstates * sizeof(i64));
+        for (i64 t = 0; t < nstates; t++) keys[t] = states[t].key;
+        libstdcxx_order(keys, nstates, order);
+        for (i64 t = 0; t < nstates; t++) {
+            i64 *slot = bm_slot(&slots, order[t]);
+            ClassState *st = &states[*slot];
+            if (st->m_end - st->m_start >= min_len && st->m_units >= perf_units)
+                mc_push(&mc, st->key, st->m_start, st->m_end);
+        }
+        free(keys);
+        free(order);
+    }
+    bm_free(&slots);
+    free(states);
+    return mc;
+}
+
+/* calculateMotifUnits (parse_smallmotif_seed.cpp:26-72) */
+static i64 calculate_motif_units(const RefineCtx *x, i64 start, i64 length,
+                                 i64 m, uint64_t motif_unit) {
+    uint64_t mask = (1ULL << (2 * m)) - 1;
+    i64 seed_end = start + length;
+    if (seed_end > x->L - 1) seed_end = x->L - 1;
+    uint64_t window = 0;
+    double guard = 0.9 * (double)m - 1;
+
+    BktMap pos_map, units_map;
+    bm_init(&pos_map, 64);
+    bm_init(&units_map, 64);
+    for (i64 j = start; j < seed_end; j++) {
+        window = ((window << 2) | (uint64_t)x->code[j]) & mask;
+        if ((double)(j - start) >= guard) {
+            i64 motif = (i64)repeat_class(window, (i32)m);
+            i64 *p = bm_slot(&pos_map, motif);
+            if (p == NULL) {
+                if (pos_map.n * 2 + 2 >= pos_map.cap) {
+                    BktMap nm2;
+                    bm_init(&nm2, pos_map.cap);
+                    for (i64 t = 0; t < pos_map.cap; t++)
+                        if (pos_map.keys[t] != -1)
+                            bm_put(&nm2, pos_map.keys[t], pos_map.vals[t]);
+                    bm_free(&pos_map);
+                    pos_map = nm2;
+                }
+                if (units_map.n * 2 + 2 >= units_map.cap) {
+                    BktMap nm2;
+                    bm_init(&nm2, units_map.cap);
+                    for (i64 t = 0; t < units_map.cap; t++)
+                        if (units_map.keys[t] != -1)
+                            bm_put(&nm2, units_map.keys[t], units_map.vals[t]);
+                    bm_free(&units_map);
+                    units_map = nm2;
+                }
+                bm_put(&pos_map, motif, j - (m - 1));
+                bm_put(&units_map, motif, 1);
+            } else {
+                if ((j - (m - 1)) - *p >= m) {
+                    *p = j - (m - 1);
+                    i64 *u = bm_slot(&units_map, motif);
+                    *u += 1;
+                }
+            }
+        }
+    }
+    i64 *u = bm_slot(&units_map, (i64)motif_unit);
+    i64 result = u ? *u : 0;
+    bm_free(&pos_map);
+    bm_free(&units_map);
+    return result;
+}
+
+/* ------------------------------------------------------------------ */
+/* processSeed (parse_seed.cpp:318-464)                               */
+/* ------------------------------------------------------------------ */
+
+static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
+                         i64 motif_length, i64 seed_type, i32 midx) {
+    i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
+
+    if ((double)(seed_end - seed_start) < 0.9 * (double)motif_length) return;
+    if (ribbit_core_overlay_longest_run(x->core, midx, seed_start, seed_end)
+        < CONTINUOUS_ONES_THRESHOLD) return;
+
+    i64 ppr_len = ppr_length_of(ssl, motif_length);
+    int8_t motif_bases[128];
+    i64 atomicity;
+    if (motif_length <= 10) {
+        uint64_t unit = most_frequent_motif(x, seed_start, ssl, motif_length);
+        atomicity = atomicity_int(unit, (i32)motif_length);
+        motif_int_to_bases(unit, (i32)motif_length, motif_bases);
+    } else {
+        i32 mm = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                                    (i32)seed_start, (i32)ssl,
+                                    (i32)motif_length);
+        for (i64 i = 0; i < motif_length; i++) {
+            i64 p = mm + i;
+            motif_bases[i] = (p < x->L) ? x->code[p] : 0;
+        }
+        atomicity = atomicity_bases(motif_bases, (i32)motif_length, 0);
+    }
+
+    if (motif_length % atomicity != 0) return;
+
+    char motif_str[128];
+    for (i64 i = 0; i < atomicity; i++)
+        motif_str[i] = BASE_CHARS[motif_bases[i]];
+    motif_str[atomicity] = 0;
+
+    /* align seed sequence (clipped at L, python slicing) vs pseudo-perfect */
+    i64 read_len = ssl;
+    if (seed_start + read_len > x->L) read_len = x->L - seed_start;
+    int8_t *ppr = build_ppr(motif_bases, atomicity, ppr_len);
+    i32 out6[6];
+    char *cigar = run_align(x->translated + seed_start, read_len, ppr,
+                            ppr_len, out6);
+    free(ppr);
+    if (cigar == NULL) return;
+    if (cigar[0] == 0) { free(cigar); return; }
+
+    CigarResult cr = process_cigar_with_pruning(
+        seed_start, ssl, cigar, atomicity, x->minimum_length, x->tbl_size);
+    free(cigar);
+
+    i64 repeat_start = cr.repeat_start, repeat_end = cr.repeat_end;
+    i64 loci_first = repeat_start, loci_second = repeat_end - atomicity;
+
+    if (cr.alignment_length >= min_length_of(x, atomicity)) {
+        i64 repeat_length = repeat_end - repeat_start;
+        if (repeat_length >= min_length_of(x, motif_length)) {
+            emit_line(x, repeat_start, repeat_end, motif_str, atomicity,
+                      motif_length, repeat_length, repeat_length / atomicity,
+                      cr.purity, seed_type, cr.cigar);
+        }
+    }
+    free(cr.cigar);
+
+    /* recursion into uncovered flanks (parse_seed.cpp:444-463) */
+    i64 flank_start = seed_start;
+    {
+        i64 first = loci_first, second = loci_second;
+        if (flank_start >= first) {
+            flank_start = second;
+        } else {
+            if (first - flank_start >= min_length_of(x, motif_length)) {
+                if (flank_start < seed_start) flank_start = seed_start;
+                if (first > seed_end) first = seed_end;
+                if (!(flank_start == seed_start && first == seed_end))
+                    process_seed(x, flank_start, first, motif_length,
+                                 seed_type, midx);
+            }
+            flank_start = second;
+        }
+    }
+    if (seed_end - flank_start >= min_length_of(x, motif_length)) {
+        if (flank_start < seed_start) flank_start = seed_start;
+        if (flank_start != seed_start)
+            process_seed(x, flank_start, seed_end, motif_length, seed_type,
+                         midx);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* processSeedMotifWise (parse_smallmotif_seed.cpp:190-288)           */
+/* ------------------------------------------------------------------ */
+
+static void process_seed_motifwise(RefineCtx *x, i64 seed_start, i64 seed_end,
+                                   i64 motif_length, i64 seed_type, i32 midx) {
+    i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
+    if (ribbit_core_overlay_longest_run(x->core, midx, seed_start, seed_end)
+        < CONTINUOUS_ONES_THRESHOLD) return;
+
+    MotifCands mc = possible_motifs(x, seed_start, ssl, motif_length);
+    if (mc.n == 0) {
+        free(mc.motifs); free(mc.starts); free(mc.ends);
+        return;
+    }
+
+    for (i64 idx = 0; idx < mc.n; idx++) {
+        uint64_t motif_unit = (uint64_t)mc.motifs[idx];
+        i64 atomicity = atomicity_int(motif_unit, (i32)motif_length);
+        int8_t motif_bases[64];
+        motif_int_to_bases(motif_unit, (i32)motif_length, motif_bases);
+        char motif_str[64];
+        for (i64 i = 0; i < atomicity; i++)
+            motif_str[i] = BASE_CHARS[motif_bases[i]];
+        motif_str[atomicity] = 0;
+        motif_unit >>= 2 * (motif_length - atomicity);
+
+        i64 ms = mc.starts[idx], me = mc.ends[idx];
+        i64 msl = me - ms;
+        i64 read_len = msl;
+        if (ms + read_len > x->L) read_len = x->L - ms;
+
+        i64 ppr_len = ppr_length_of(msl, motif_length);
+        int8_t *ppr = build_ppr(motif_bases, atomicity, ppr_len);
+        i32 out6[6];
+        char *cigar = run_align(x->translated + ms, read_len, ppr, ppr_len,
+                                out6);
+        free(ppr);
+        if (cigar == NULL) continue;
+        if (cigar[0] == 0) { free(cigar); continue; }
+
+        CigarResult cr = process_cigar_motifwise(ms, msl, cigar, atomicity);
+        free(cigar);
+        i64 repeat_length = cr.repeat_end - cr.repeat_start;
+        i64 match_units = calculate_motif_units(x, cr.repeat_start,
+                                                repeat_length, atomicity,
+                                                motif_unit);
+        if (match_units >= perfect_units_of(x, atomicity) &&
+            repeat_length >= min_length_of(x, atomicity)) {
+            emit_line(x, cr.repeat_start, cr.repeat_end, motif_str, atomicity,
+                      motif_length, repeat_length, repeat_length / atomicity,
+                      cr.purity, seed_type, cr.cigar);
+        }
+        free(cr.cigar);
+    }
+    free(mc.motifs); free(mc.starts); free(mc.ends);
+}
+
+/* ------------------------------------------------------------------ */
+/* public API                                                         */
+/* ------------------------------------------------------------------ */
+
+/* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
+ * (start, end, mlen, rank).  translated: SSW base translation of the raw
+ * sequence chars (A/C/G/T/U -> 0..3, everything else 4).  Returns a
+ * malloc'd buffer (caller frees with ribbit_buffer_free); *out_len gets its
+ * length. */
+char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
+                        const uint8_t *nmask, const int8_t *translated,
+                        i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
+                        const i64 *min_length_tbl, const i64 *perfect_units_tbl,
+                        i64 tbl_size, const char *seq_id,
+                        const i64 *seeds, i64 nseeds, i64 *out_len) {
+    RefineCtx x;
+    x.core = core;
+    x.code = code;
+    x.nmask = nmask;
+    x.translated = translated;
+    x.L = L;
+    x.min_motif = min_motif;
+    x.max_motif = max_motif;
+    x.min_shift = min_shift;
+    x.minimum_length = min_length_tbl;
+    x.perfect_units = perfect_units_tbl;
+    x.tbl_size = tbl_size;
+    x.seq_id = seq_id;
+    x.seq_id_len = (i64)strlen(seq_id);
+    StrBuf out = {NULL, 0, 0};
+    x.out = &out;
+
+    for (i64 k = 0; k < nseeds; k++) {
+        i64 s = seeds[k * 4 + 0], e = seeds[k * 4 + 1];
+        i64 mlen = seeds[k * 4 + 2], rank = seeds[k * 4 + 3];
+        if (rank == -1) continue;
+        if ((double)(e - s) >= 0.9 * (double)mlen) {
+            i32 midx = (i32)(mlen - min_shift);
+            if (mlen <= 10)
+                process_seed_motifwise(&x, s, e, mlen, rank, midx);
+            else
+                process_seed(&x, s, e, mlen, rank, midx);
+        }
+    }
+    if (out.d == NULL) {
+        out.d = (char *)calloc(1, 1);
+        out.n = 0;
+    }
+    *out_len = out.n;
+    return out.d;
+}
+
+void ribbit_buffer_free(char *p) { free(p); }

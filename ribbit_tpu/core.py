@@ -1,0 +1,160 @@
+"""Python wrapper for the native event-driven core (csrc/ribbit_core.c).
+
+A CoreSession owns a RibbitCore handle for one sequence: it runs the three
+scan phases + merge lattices in C and then serves the overlay range queries
+(popcount / longest-run) that seed refinement needs.  Events are either
+generated natively from the 2-bit code (host path) or injected from the TPU
+scan kernel (see scan_events_tpu.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .config import RibbitConfig
+from .native import _compile, _CSRC
+
+
+_lib = None
+_tried = False
+
+
+def get_core_lib():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    import os
+    if os.environ.get("RIBBIT_NO_NATIVE"):
+        return None
+    so = _compile([_CSRC / "ribbit_core.c", _CSRC / "ribbit_refine.c",
+                   _CSRC / "ribbit_align.c", _CSRC / "ribbit_vote.c"])
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    P8 = ctypes.POINTER(ctypes.c_int8)
+    PU8 = ctypes.POINTER(ctypes.c_uint8)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    lib.ribbit_core_create.restype = ctypes.c_void_p
+    lib.ribbit_core_create.argtypes = [P8, PU8, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32]
+    lib.ribbit_core_set_events.restype = None
+    lib.ribbit_core_set_events.argtypes = [ctypes.c_void_p] + [P64] * 9
+    lib.ribbit_core_scan.restype = ctypes.c_int64
+    lib.ribbit_core_scan.argtypes = [ctypes.c_void_p]
+    lib.ribbit_core_get_seeds.restype = None
+    lib.ribbit_core_get_seeds.argtypes = [ctypes.c_void_p, P64]
+    lib.ribbit_core_overlay_bitcount.restype = ctypes.c_int64
+    lib.ribbit_core_overlay_bitcount.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
+    lib.ribbit_core_overlay_longest_run.restype = ctypes.c_int64
+    lib.ribbit_core_overlay_longest_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
+    lib.ribbit_core_destroy.restype = None
+    lib.ribbit_core_destroy.argtypes = [ctypes.c_void_p]
+    lib.ribbit_refine_run.restype = ctypes.POINTER(ctypes.c_char)
+    lib.ribbit_refine_run.argtypes = [
+        ctypes.c_void_p, P8, PU8, P8, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        P64, P64, ctypes.c_int64, ctypes.c_char_p,
+        P64, ctypes.c_int64, P64]
+    lib.ribbit_buffer_free.restype = None
+    lib.ribbit_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    _lib = lib
+    return _lib
+
+
+class CoreSession:
+    """Owns a native core handle for one sequence (keeps the numpy buffers
+    alive for the C side)."""
+
+    def __init__(self, code: np.ndarray, n_mask: np.ndarray,
+                 cfg: RibbitConfig):
+        self.lib = get_core_lib()
+        if self.lib is None:
+            raise RuntimeError("native core unavailable")
+        self.code = np.ascontiguousarray(code, dtype=np.int8)
+        self.n_mask = np.ascontiguousarray(n_mask).view(np.uint8)
+        self.cfg = cfg
+        self.handle = self.lib.ribbit_core_create(
+            self.code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self.n_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            code.shape[0], cfg.min_motif, cfg.max_motif)
+
+    def set_events(self, perf, q7, q6) -> None:
+        """Inject device-produced events.  Each of perf/q7/q6 is a tuple of
+        (starts int64[N], ends int64[N], offsets int64[nmotifs+1])."""
+        def p(a):
+            a = np.ascontiguousarray(a, dtype=np.int64)
+            return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        keep = []
+        ptrs = []
+        for group in (perf, q7, q6):
+            for arr in group:
+                a, ptr = p(arr)
+                keep.append(a)
+                ptrs.append(ptr)
+        self._events_keepalive = keep
+        self.lib.ribbit_core_set_events(self.handle, *ptrs)
+
+    def scan(self) -> np.ndarray:
+        """Runs scan+lattices+merge; returns int64[N, 4] seed array
+        (start, end, mlen, rank) in emission order."""
+        n = self.lib.ribbit_core_scan(self.handle)
+        out = np.empty((n, 4), dtype=np.int64)
+        if n:
+            self.lib.ribbit_core_get_seeds(
+                self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
+    def refine(self, seeds: np.ndarray, sequence: str,
+               sequence_id: str) -> list[str]:
+        """Native refinement of the merged seed stream -> BED lines."""
+        from .align import _TRANSLATE
+        raw = np.frombuffer(sequence.encode("ascii"), dtype=np.uint8)
+        translated = np.ascontiguousarray(_TRANSLATE[raw & 0x7F])
+        cfg = self.cfg
+        tbl = cfg.max_motif + 1
+        min_len = np.zeros(tbl, dtype=np.int64)
+        perf_units = np.zeros(tbl, dtype=np.int64)
+        for m, v in cfg.minimum_length.items():
+            if 0 <= m < tbl:
+                min_len[m] = v
+        for m, v in cfg.perfect_units.items():
+            if 0 <= m < tbl:
+                perf_units[m] = v
+        seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+        out_len = ctypes.c_int64(0)
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        buf = self.lib.ribbit_refine_run(
+            self.handle,
+            self.code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self.n_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            translated.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self.code.shape[0], cfg.min_motif, cfg.max_motif, cfg.min_shift,
+            min_len.ctypes.data_as(P64), perf_units.ctypes.data_as(P64),
+            tbl, sequence_id.encode("ascii"),
+            seeds.ctypes.data_as(P64), seeds.shape[0],
+            ctypes.byref(out_len))
+        text = ctypes.string_at(buf, out_len.value).decode("ascii")
+        self.lib.ribbit_buffer_free(buf)
+        return text.splitlines()
+
+    def overlay_bitcount(self, midx: int, a: int, b: int) -> int:
+        return self.lib.ribbit_core_overlay_bitcount(self.handle, midx, a, b)
+
+    def overlay_longest_run(self, midx: int, a: int, b: int) -> int:
+        return self.lib.ribbit_core_overlay_longest_run(self.handle, midx, a, b)
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.ribbit_core_destroy(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

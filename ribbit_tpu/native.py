@@ -22,18 +22,19 @@ _lib = None
 _tried = False
 
 
-def _compile(src: pathlib.Path) -> pathlib.Path | None:
-    code = src.read_bytes()
-    h = hashlib.sha256(code).hexdigest()[:16]
-    out = _BUILD / f"{src.stem}_{h}.so"
+def _compile(src) -> pathlib.Path | None:
+    """Compile one source file or a list of sources into one cached .so."""
+    srcs = [src] if isinstance(src, pathlib.Path) else list(src)
+    h = hashlib.sha256(b"".join(s.read_bytes() for s in srcs)).hexdigest()[:16]
+    out = _BUILD / f"{srcs[0].stem}_{h}.so"
     if out.exists():
         return out
     _BUILD.mkdir(exist_ok=True)
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC",
-                 str(src), "-o", str(out)],
+                [cc, "-O3", "-march=native", "-shared", "-fPIC"]
+                + [str(s) for s in srcs] + ["-o", str(out), "-lm"],
                 capture_output=True, timeout=120)
             if r.returncode == 0 and out.exists():
                 return out

@@ -1,13 +1,16 @@
-"""End-to-end per-sequence pipeline (host reference path).
+"""End-to-end per-sequence pipeline.
 
 Mirrors processSequence (fasta_utils.cpp:59-250):
-  encode -> shift-XOR bitmaps -> perfect scan -> substitution scan ->
-  anchors -> overlay -> anchored scan -> 3-pointer seed merge ->
-  per-seed refinement -> BED lines.
+  encode -> shift-XOR scan -> perfect/substitution/anchored scanners ->
+  merge lattices -> 3-pointer seed merge -> per-seed refinement -> BED.
 
-The scan arrays can come from the host numpy backend or the TPU backend
-(scan_tpu.py); the scanner replays, lattices, and refinement are exact
-host-side ports that consume the same compact structures either way.
+Engines:
+  core   (default) — native event-driven core (csrc/ribbit_core.c): the
+         O(NSHIFTS*L) scan streams into compact events consumed by C
+         scanners/lattices; overlay range queries are recomputed on demand.
+         Events can also come from the TPU scan kernel (scan_backend="tpu").
+  python — the oracle-validated pure-Python reference engine over full
+         bitmaps (scan_host / events / lattice); used for cross-checking.
 """
 
 from __future__ import annotations
@@ -21,8 +24,8 @@ from .config import (RibbitConfig, RANK_P, RANK_S, RANK_A, RANK_N,
                      WINDOW_BITCOUNT_SUBSTITUTION, WINDOW_BITCOUNT_ANCHORED)
 from . import scan_host
 from .encode import encode
-from .events import run_perfect_scan, run_substitution_scan, run_anchored_scan
-from .refine import process_seed, process_seed_motifwise
+from .refine import (process_seed, process_seed_motifwise,
+                     longest_continuous_matches)
 
 # the lattices and processSeed recurse proportionally to local seed structure
 sys.setrecursionlimit(1_000_000)
@@ -40,22 +43,65 @@ class _BitmapCounter:
         return int(np.count_nonzero(self.bitmaps[midx, start:end]))
 
 
-def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
-                     out: Optional[List[str]] = None,
-                     scan_backend: str = "host") -> List[str]:
-    """Returns the BED lines for one sequence (11 tab-separated columns,
-    matching ribbit.cpp:199-204 / parse_seed.cpp:434-437)."""
-    lines: List[str] = out if out is not None else []
-    emit = lines.append
+def _refine_seeds(seeds, sequence_id: str, sequence: str, L: int,
+                  code: np.ndarray, n_mask: np.ndarray, cfg: RibbitConfig,
+                  emit, longest_run_for_channel) -> None:
+    """Dispatch the merged seed stream into the two refinement paths
+    (fasta_utils.cpp:224-240).  seeds: iterable of (start, end, mlen, rank);
+    longest_run_for_channel(midx) -> callable(a, b) -> longest overlay run."""
+    for seed_start, seed_end, seed_mlen, seed_type in seeds:
+        if seed_type == RANK_N:
+            continue
+        if seed_end - seed_start >= 0.9 * seed_mlen:
+            clr = longest_run_for_channel(cfg.motif_channel(seed_mlen))
+            if seed_mlen <= 10:
+                process_seed_motifwise(seed_start, seed_end, seed_mlen,
+                                       seed_type, sequence_id, sequence, L,
+                                       clr, code, n_mask, cfg, emit)
+            else:
+                process_seed(seed_start, seed_end, seed_mlen, seed_type,
+                             sequence_id, sequence, L, clr, code, n_mask,
+                             cfg, emit)
 
+
+def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
+                  emit, scan_backend: str) -> None:
+    import os
+    from .core import CoreSession
     L = len(sequence)
-    if L == 0:
-        return lines
+    code, n_mask = encode(sequence)
+    sess = CoreSession(code, n_mask, cfg)
+    try:
+        if scan_backend == "tpu":
+            from .scan_events_tpu import scan_events
+            perf, q7, q6 = scan_events(code, n_mask, cfg)
+            sess.set_events(perf, q7, q6)
+        seeds = sess.scan()
+
+        if os.environ.get("RIBBIT_PY_REFINE"):
+            # python refinement over the native seed stream (debug/cross-check)
+            def longest_run_for_channel(midx: int):
+                return lambda a, b: sess.overlay_longest_run(midx, a, b)
+            _refine_seeds(seeds.tolist(), sequence_id, sequence, L, code,
+                          n_mask, cfg, emit, longest_run_for_channel)
+        else:
+            for line in sess.refine(seeds, sequence, sequence_id):
+                emit(line)
+    finally:
+        sess.close()
+
+
+def _process_python(sequence_id: str, sequence: str, cfg: RibbitConfig,
+                    emit, scan_backend: str) -> None:
+    from .events import (run_perfect_scan, run_substitution_scan,
+                         run_anchored_scan)
+    L = len(sequence)
     code, n_mask = encode(sequence)
 
     if scan_backend == "tpu":
         from . import scan_tpu
-        eq, anchors, overlay, qual7, qual6 = scan_tpu.scan_arrays(code, n_mask, cfg)
+        eq, anchors, overlay, qual7, qual6 = scan_tpu.scan_arrays(
+            code, n_mask, cfg)
     else:
         eq = scan_host.match_bitmaps(code, cfg)
         anchors = scan_host.anchor_bitmaps(eq, cfg)
@@ -68,53 +114,62 @@ def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
     raw_bitcount = _BitmapCounter(eq)
     overlay_bitcount = _BitmapCounter(overlay)
 
-    # phase 1: perfect seeds (raw bitmaps)
     perfect = run_perfect_scan(eq, n_mask, raw_bitcount, cfg)
-    # phase 2: substitution seeds (raw bitmaps, window >= 7)
     substut = run_substitution_scan(qual7, n_mask, raw_bitcount, perfect, cfg)
-    # phase 3: anchored seeds (overlay bitmaps, window >= 6)
     anchored = run_anchored_scan(qual6, n_mask, overlay_bitcount,
                                  perfect, substut, cfg)
 
     # final 3-pointer merge by seed start; P wins ties over S over A
     # (fasta_utils.cpp:181-242)
-    pi = si = ai = 0
-    smallest_type = -1
-    while pi < len(perfect) or si < len(substut) or ai < len(anchored):
-        smallest = (1 << 64) - 1
-        if pi < len(perfect) and smallest > perfect[pi][0]:
-            smallest = perfect[pi][0]
-            smallest_type = RANK_P
-        if si < len(substut) and smallest > substut[si][0]:
-            smallest = substut[si][0]
-            smallest_type = RANK_S
-        if ai < len(anchored) and smallest > anchored[ai][0]:
-            smallest = anchored[ai][0]
-            smallest_type = RANK_A
-
-        if smallest_type == RANK_P:
-            seed = perfect[pi]
-            pi += 1
-        elif smallest_type == RANK_S:
-            seed = substut[si]
-            si += 1
-        else:
-            seed = anchored[ai]
-            ai += 1
-
-        seed_start, seed_end, seed_mlen, seed_type = seed
-        if seed_type == RANK_N:
-            continue
-
-        if seed_end - seed_start >= 0.9 * seed_mlen:
-            channel = overlay[cfg.motif_channel(seed_mlen)]
-            if seed_mlen <= 10:
-                process_seed_motifwise(seed_start, seed_end, seed_mlen,
-                                       seed_type, sequence_id, sequence, L,
-                                       channel, code, n_mask, cfg, emit)
+    def merged():
+        pi = si = ai = 0
+        smallest_type = -1
+        while pi < len(perfect) or si < len(substut) or ai < len(anchored):
+            smallest = (1 << 64) - 1
+            if pi < len(perfect) and smallest > perfect[pi][0]:
+                smallest = perfect[pi][0]
+                smallest_type = RANK_P
+            if si < len(substut) and smallest > substut[si][0]:
+                smallest = substut[si][0]
+                smallest_type = RANK_S
+            if ai < len(anchored) and smallest > anchored[ai][0]:
+                smallest = anchored[ai][0]
+                smallest_type = RANK_A
+            if smallest_type == RANK_P:
+                seed = perfect[pi]
+                pi += 1
+            elif smallest_type == RANK_S:
+                seed = substut[si]
+                si += 1
             else:
-                process_seed(seed_start, seed_end, seed_mlen, seed_type,
-                             sequence_id, sequence, L, channel, code, n_mask,
-                             cfg, emit)
+                seed = anchored[ai]
+                ai += 1
+            yield seed
 
+    def longest_run_for_channel(midx: int):
+        ch = overlay[midx]
+        return lambda a, b: longest_continuous_matches(ch[a:b])
+
+    _refine_seeds(merged(), sequence_id, sequence, L, code, n_mask, cfg,
+                  emit, longest_run_for_channel)
+
+
+def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
+                     out: Optional[List[str]] = None,
+                     scan_backend: str = "host",
+                     engine: str = "core") -> List[str]:
+    """Returns the BED lines for one sequence (11 tab-separated columns,
+    matching ribbit.cpp:199-204 / parse_seed.cpp:434-437)."""
+    lines: List[str] = out if out is not None else []
+    emit = lines.append
+    if len(sequence) == 0:
+        return lines
+
+    if engine == "core":
+        try:
+            _process_core(sequence_id, sequence, cfg, emit, scan_backend)
+            return lines
+        except RuntimeError:
+            pass  # native core unavailable: fall back to python engine
+    _process_python(sequence_id, sequence, cfg, emit, scan_backend)
     return lines

@@ -304,19 +304,19 @@ def _n_trimmed_length(n_mask: np.ndarray, seed_start: int, seed_end: int,
 
 def process_seed(seed_start: int, seed_end: int, motif_length: int,
                  seed_type: int, sequence_id: str, sequence: str,
-                 sequence_length: int, xor_channel: np.ndarray,
+                 sequence_length: int, channel_longest_run,
                  code: np.ndarray, n_mask: np.ndarray,
                  cfg: RibbitConfig, emit: EmitFn) -> None:
     """processSeed (parse_seed.cpp:318-464): large-motif refinement with
-    recursion into uncovered flanks."""
+    recursion into uncovered flanks.  channel_longest_run(a, b) -> longest
+    run of 1s in the seed's overlay channel over [a, b)."""
     seed_sequence_length = _n_trimmed_length(n_mask, seed_start, seed_end,
                                              motif_length)
     seed_sequence = sequence[seed_start:seed_start + seed_sequence_length]
 
     if seed_end - seed_start < 0.9 * motif_length:
         return
-    seed_bits = xor_channel[seed_start:seed_end]
-    if longest_continuous_matches(seed_bits) < CONTINUOUS_ONES_THRESHOLD:
+    if channel_longest_run(seed_start, seed_end) < CONTINUOUS_ONES_THRESHOLD:
         return
 
     ppr_length = _ppr_length(seed_sequence_length, motif_length)
@@ -369,7 +369,7 @@ def process_seed(seed_start: int, seed_end: int, motif_length: int,
             if not (flank_start == seed_start and first == seed_end):
                 process_seed(flank_start, first, motif_length, seed_type,
                              sequence_id, sequence, sequence_length,
-                             xor_channel, code, n_mask, cfg, emit)
+                             channel_longest_run, code, n_mask, cfg, emit)
         flank_start = second
 
     if seed_end - flank_start >= cfg.min_length(motif_length):
@@ -378,7 +378,7 @@ def process_seed(seed_start: int, seed_end: int, motif_length: int,
         if flank_start != seed_start:
             process_seed(flank_start, seed_end, motif_length, seed_type,
                          sequence_id, sequence, sequence_length,
-                         xor_channel, code, n_mask, cfg, emit)
+                         channel_longest_run, code, n_mask, cfg, emit)
 
 
 def possible_motifs(code: np.ndarray, seed_start: int,
@@ -505,14 +505,13 @@ def calculate_motif_units(code: np.ndarray, start: int, length: int,
 
 def process_seed_motifwise(seed_start: int, seed_end: int, motif_length: int,
                            seed_type: int, sequence_id: str, sequence: str,
-                           sequence_length: int, xor_channel: np.ndarray,
+                           sequence_length: int, channel_longest_run,
                            code: np.ndarray, n_mask: np.ndarray,
                            cfg: RibbitConfig, emit: EmitFn) -> None:
     """processSeedMotifWise (parse_smallmotif_seed.cpp:190-288)."""
     seed_sequence_length = _n_trimmed_length(n_mask, seed_start, seed_end,
                                              motif_length)
-    seed_bits = xor_channel[seed_start:seed_end]
-    if longest_continuous_matches(seed_bits) < CONTINUOUS_ONES_THRESHOLD:
+    if channel_longest_run(seed_start, seed_end) < CONTINUOUS_ONES_THRESHOLD:
         return
 
     motifs, starts, ends = possible_motifs(code, seed_start,
