@@ -973,47 +973,116 @@ static void process_seed_motifwise(RefineCtx *x, i64 seed_start, i64 seed_end,
  * sequence chars (A/C/G/T/U -> 0..3, everything else 4).  Returns a
  * malloc'd buffer (caller frees with ribbit_buffer_free); *out_len gets its
  * length. */
+static void refine_one(RefineCtx *x, const i64 *seed, i32 min_shift) {
+    i64 s = seed[0], e = seed[1], mlen = seed[2], rank = seed[3];
+    if (rank == -1) return;
+    if ((double)(e - s) >= 0.9 * (double)mlen) {
+        i32 midx = (i32)(mlen - min_shift);
+        if (mlen <= 10)
+            process_seed_motifwise(x, s, e, mlen, rank, midx);
+        else
+            process_seed(x, s, e, mlen, rank, midx);
+    }
+}
+
+#include <pthread.h>
+#include <unistd.h>
+
+typedef struct {
+    RefineCtx proto;            /* shared read-only fields */
+    const i64 *seeds;
+    i64 nseeds;
+    StrBuf *bufs;               /* one per seed, emission-order concat */
+    i64 next;                   /* atomic work cursor */
+} RefinePool;
+
+static void *refine_worker(void *arg) {
+    RefinePool *p = (RefinePool *)arg;
+    for (;;) {
+        i64 k = __atomic_fetch_add(&p->next, 1, __ATOMIC_RELAXED);
+        if (k >= p->nseeds) break;
+        RefineCtx x = p->proto;       /* per-task ctx; out -> seed's buffer */
+        x.out = &p->bufs[k];
+        refine_one(&x, p->seeds + 4 * k, x.min_shift);
+    }
+    return NULL;
+}
+
+/* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
+ * (start, end, mlen, rank).  translated: SSW base translation of the raw
+ * sequence chars (A/C/G/T/U -> 0..3, everything else 4).  Per-seed
+ * refinement is independent (read-only shared state), so seeds fan out over
+ * a thread pool; per-seed output buffers are concatenated in seed order so
+ * the BED text is byte-identical to the sequential run.  Returns a malloc'd
+ * buffer (caller frees with ribbit_buffer_free); *out_len gets its length. */
 char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
                         const uint8_t *nmask, const int8_t *translated,
                         i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
                         const i64 *min_length_tbl, const i64 *perfect_units_tbl,
                         i64 tbl_size, const char *seq_id,
                         const i64 *seeds, i64 nseeds, i64 *out_len) {
-    RefineCtx x;
-    x.core = core;
-    x.code = code;
-    x.nmask = nmask;
-    x.translated = translated;
-    x.L = L;
-    x.min_motif = min_motif;
-    x.max_motif = max_motif;
-    x.min_shift = min_shift;
-    x.minimum_length = min_length_tbl;
-    x.perfect_units = perfect_units_tbl;
-    x.tbl_size = tbl_size;
-    x.seq_id = seq_id;
-    x.seq_id_len = (i64)strlen(seq_id);
-    StrBuf out = {NULL, 0, 0};
-    x.out = &out;
+    RefinePool pool;
+    pool.proto.core = core;
+    pool.proto.code = code;
+    pool.proto.nmask = nmask;
+    pool.proto.translated = translated;
+    pool.proto.L = L;
+    pool.proto.min_motif = min_motif;
+    pool.proto.max_motif = max_motif;
+    pool.proto.min_shift = min_shift;
+    pool.proto.minimum_length = min_length_tbl;
+    pool.proto.perfect_units = perfect_units_tbl;
+    pool.proto.tbl_size = tbl_size;
+    pool.proto.seq_id = seq_id;
+    pool.proto.seq_id_len = (i64)strlen(seq_id);
+    pool.proto.out = NULL;
+    pool.seeds = seeds;
+    pool.nseeds = nseeds;
+    pool.bufs = (StrBuf *)calloc((size_t)(nseeds > 0 ? nseeds : 1),
+                                 sizeof(StrBuf));
+    pool.next = 0;
 
+    i64 nthreads = 1;
+    const char *env = getenv("RIBBIT_THREADS");
+    if (env) nthreads = atoll(env);
+    else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > nseeds) nthreads = nseeds > 0 ? nseeds : 1;
+
+    if (nthreads == 1) {
+        RefineCtx x = pool.proto;
+        StrBuf out = {NULL, 0, 0};
+        x.out = &out;
+        for (i64 k = 0; k < nseeds; k++)
+            refine_one(&x, seeds + 4 * k, min_shift);
+        free(pool.bufs);
+        if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
+        *out_len = out.n;
+        return out.d;
+    }
+
+    pthread_t *tids = (pthread_t *)malloc((size_t)nthreads * sizeof(pthread_t));
+    for (i64 t = 0; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, refine_worker, &pool);
+    for (i64 t = 0; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    free(tids);
+
+    i64 total = 0;
+    for (i64 k = 0; k < nseeds; k++) total += pool.bufs[k].n;
+    char *out = (char *)malloc((size_t)total + 1);
+    i64 pos = 0;
     for (i64 k = 0; k < nseeds; k++) {
-        i64 s = seeds[k * 4 + 0], e = seeds[k * 4 + 1];
-        i64 mlen = seeds[k * 4 + 2], rank = seeds[k * 4 + 3];
-        if (rank == -1) continue;
-        if ((double)(e - s) >= 0.9 * (double)mlen) {
-            i32 midx = (i32)(mlen - min_shift);
-            if (mlen <= 10)
-                process_seed_motifwise(&x, s, e, mlen, rank, midx);
-            else
-                process_seed(&x, s, e, mlen, rank, midx);
+        if (pool.bufs[k].n) {
+            memcpy(out + pos, pool.bufs[k].d, (size_t)pool.bufs[k].n);
+            pos += pool.bufs[k].n;
         }
+        free(pool.bufs[k].d);
     }
-    if (out.d == NULL) {
-        out.d = (char *)calloc(1, 1);
-        out.n = 0;
-    }
-    *out_len = out.n;
-    return out.d;
+    out[pos] = 0;
+    free(pool.bufs);
+    *out_len = pos;
+    return out;
 }
 
 void ribbit_buffer_free(char *p) { free(p); }

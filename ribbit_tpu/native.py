@@ -33,7 +33,7 @@ def _compile(src) -> pathlib.Path | None:
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC"]
+                [cc, "-O3", "-march=native", "-shared", "-fPIC", "-pthread"]
                 + [str(s) for s in srcs] + ["-o", str(out), "-lm"],
                 capture_output=True, timeout=120)
             if r.returncode == 0 and out.exists():

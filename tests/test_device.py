@@ -1,0 +1,84 @@
+"""Device-path tests on the virtual 8-device CPU mesh.
+
+Covers: the full-bitmap device scan backend vs the host reference, the
+compact event-extraction kernel end-to-end (BED parity through the native
+core), the driver entry points, and the sharded multi-chip scan step.
+"""
+
+import numpy as np
+import pytest
+
+from ribbit_tpu.config import RibbitConfig
+
+
+def test_scan_arrays_device_vs_host(cpu_jax):
+    from ribbit_tpu import scan_host, scan_tpu
+    from ribbit_tpu.sim import simulate
+    from ribbit_tpu.encode import encode
+
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=3, seed=21, name="dev", n_block_rate=0.4)
+    code, n_mask = encode(sim.sequence)
+
+    eq_h = scan_host.match_bitmaps(code, cfg)
+    an_h = scan_host.anchor_bitmaps(eq_h, cfg)
+    ov_h = scan_host.overlay_bitmaps(eq_h, an_h, cfg)
+    q7_h = scan_host.window_qualified(eq_h, n_mask, 7)
+    q6_h = scan_host.window_qualified(ov_h, n_mask, 6)
+
+    eq_t, an_t, ov_t, q7_t, q6_t = scan_tpu.scan_arrays(code, n_mask, cfg)
+    assert np.array_equal(eq_h, eq_t)
+    assert np.array_equal(an_h, an_t)
+    assert np.array_equal(ov_h, ov_t)
+    assert np.array_equal(q7_h, q7_t)
+    assert np.array_equal(q6_h, q6_t)
+
+
+def test_event_kernel_bed_parity(cpu_jax, golden_dir):
+    """Device event extraction -> native core -> BED must equal the oracle."""
+    from ribbit_tpu.fasta import read_fasta
+    from ribbit_tpu.pipeline import process_sequence
+
+    cfg = RibbitConfig.create()
+    lines = []
+    for sid, seq in read_fasta(str(golden_dir / "g3.fa")):
+        process_sequence(sid, seq, cfg, out=lines, scan_backend="tpu")
+    expected = (golden_dir / "g3.oracle.bed").read_text().splitlines()
+    assert lines == expected
+
+
+def test_entry_compiles(cpu_jax):
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = fn(*args)
+    cpu_jax.block_until_ready(out)
+    assert out[0].shape[0] == 102
+
+
+def test_dryrun_multichip(cpu_jax):
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_scan_matches_single_device(cpu_jax):
+    """The mesh-sharded chunk scan must equal the unsharded computation."""
+    from ribbit_tpu.parallel import make_mesh, sharded_scan_step
+    from ribbit_tpu.parallel.sharded_scan import _chunk_scan
+
+    cfg = RibbitConfig.create(min_motif=2, max_motif=12)
+    rng = np.random.default_rng(5)
+    B, C = 8, 256
+    code = rng.integers(0, 4, (B, C)).astype(np.int8)
+    n_mask = np.zeros((B, C), dtype=bool)
+
+    mesh = make_mesh(8)
+    step = sharded_scan_step(mesh, cfg)
+    eq_sh, counts_sh, total_sh = step(code, n_mask)
+
+    import jax.numpy as jnp
+    eq_ref, counts_ref = _chunk_scan(jnp.asarray(code), jnp.asarray(n_mask),
+                                     min_shift=cfg.min_shift,
+                                     nshifts=cfg.nshifts)
+    assert np.array_equal(np.asarray(eq_sh), np.asarray(eq_ref))
+    assert np.array_equal(np.asarray(counts_sh), np.asarray(counts_ref))
+    assert int(total_sh[0]) == int(np.asarray(counts_ref).sum())
