@@ -28,6 +28,8 @@
 #include <stdlib.h>
 #include <string.h>
 #include <time.h>
+#include <pthread.h>
+#include <unistd.h>
 
 typedef int64_t i64;
 typedef int32_t i32;
@@ -266,53 +268,184 @@ static i64 core_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
 /* event generation (scan_host.py semantics, streamed per channel)    */
 /* ------------------------------------------------------------------ */
 
-/* extract runs of buf[0..L)==1 into (starts, ends); half-open */
-static void runs_extract(const uint8_t *buf, i64 L, IVec *starts, IVec *ends) {
+/* Generation is organized for compiler auto-vectorization: per-window sums
+ * come from three log-shift byte-add passes, run candidates from log-shift
+ * byte-AND passes, and only the (sparse) candidates are expanded by scalar
+ * walks.  Motif channels are partitioned into contiguous blocks processed
+ * by a thread pool; each worker recomputes the few boundary anchor
+ * channels it needs, and writes only its own per-channel event vectors. */
+
+#define GEN_PAD 16
+
+/* s8[p] = popcount of b[p..p+7]; buffers padded with zeros past L */
+static void win8_sums(const uint8_t *restrict b, uint8_t *restrict s2,
+                      uint8_t *restrict s4, uint8_t *restrict s8, i64 L) {
+    for (i64 p = 0; p < L + 8; p++) s2[p] = b[p] + b[p + 1];
+    for (i64 p = 0; p < L + 8; p++) s4[p] = s2[p] + s2[p + 2];
+    for (i64 p = 0; p < L; p++) s8[p] = s4[p] + s4[p + 4];
+}
+
+/* runs of q[0..n)==1 with zero-chunk skipping (qualified bytes are rare) */
+static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
     i64 p = 0;
-    while (p < L) {
-        while (p < L && !buf[p]) p++;
-        if (p >= L) break;
-        i64 s = p;
-        while (p < L && buf[p]) p++;
-        iv_push(starts, s);
-        iv_push(ends, p);
-    }
-}
-
-/* qualified-window runs over bit buffer `bits` with threshold `thr`:
- * window w in [0, L-8] qualifies when popcount(bits[w..w+7]) >= thr AND the
- * window is N-free (parse_substitute_shiftxor.cpp:433-475).  Emits runs of
- * consecutive qualified windows. */
-static void qual_runs(const RibbitCore *c, const uint8_t *bits, i32 thr,
-                      IVec *starts, IVec *ends) {
-    i64 nw = c->L - WINDOW_LENGTH + 1;
-    if (nw <= 0) return;
-    i64 bitsum = 0, nsum = 0;
-    for (i64 i = 0; i < WINDOW_LENGTH; i++) {
-        bitsum += bits[i];
-        nsum += c->nmask[i];
-    }
-    i64 run_start = -1;
-    for (i64 w = 0;; w++) {
-        int q = (nsum == 0 && bitsum >= thr);
-        if (q && run_start < 0) run_start = w;
-        if (!q && run_start >= 0) {
-            iv_push(starts, run_start);
-            iv_push(ends, w);
-            run_start = -1;
+    while (p < n) {
+        while (p + 8 <= n) {
+            uint64_t w;
+            memcpy(&w, q + p, 8);
+            if (w) break;
+            p += 8;
         }
-        if (w + 1 >= nw) break;
-        bitsum += bits[w + WINDOW_LENGTH] - bits[w];
-        nsum += c->nmask[w + WINDOW_LENGTH] - c->nmask[w];
-    }
-    if (run_start >= 0) {
-        iv_push(starts, run_start);
-        iv_push(ends, nw);
+        while (p < n && !q[p]) p++;
+        if (p >= n) break;
+        i64 s = p;
+        while (p < n && q[p]) p++;
+        iv_push(ss, s);
+        iv_push(ee, p);
     }
 }
 
-/* generate all per-channel events by streaming shifts with a rolling
- * anchor-buffer window of 5 (overlay for motif m needs anchors m-2..m+2) */
+/* next set byte at index >= p with zero-chunk skipping; returns n if none */
+static inline i64 next_set_byte(const uint8_t *b, i64 p, i64 n) {
+    while (p + 8 <= n) {
+        uint64_t w;
+        memcpy(&w, b + p, 8);
+        if (w) break;
+        p += 8;
+    }
+    while (p < n && !b[p]) p++;
+    return p;
+}
+
+typedef struct {
+    RibbitCore *c;
+    i32 m_lo, m_hi;             /* motif block [m_lo, m_hi] inclusive */
+    const uint8_t *n8;          /* shared per-window N counts */
+} GenTask;
+
+static void *gen_worker(void *arg) {
+    GenTask *t = (GenTask *)arg;
+    RibbitCore *c = t->c;
+    i64 L = c->L;
+    size_t BUF = (size_t)(L + GEN_PAD);
+
+    uint8_t *ebuf[5], *abuf[5];
+    i64 atag[5], etag[5];
+    for (int i = 0; i < 5; i++) {
+        ebuf[i] = (uint8_t *)calloc(BUF, 1);
+        abuf[i] = (uint8_t *)calloc(BUF, 1);
+        atag[i] = etag[i] = -1;
+    }
+    uint8_t *obuf = (uint8_t *)calloc(BUF, 1);
+    uint8_t *pm = (uint8_t *)calloc(BUF, 1);
+    uint8_t *t2 = (uint8_t *)calloc(BUF, 1);
+    uint8_t *t4 = (uint8_t *)calloc(BUF, 1);
+    uint8_t *t8 = (uint8_t *)calloc(BUF, 1);
+    uint8_t *qb = (uint8_t *)calloc(BUF, 1);
+    const uint8_t *n8 = t->n8;
+    i64 nw = L - WINDOW_LENGTH + 1;
+
+    i64 shift_lo = t->m_lo - 2;
+    if (shift_lo < 1) shift_lo = 1;
+    if (shift_lo < c->min_shift) shift_lo = c->min_shift;
+
+    for (i64 shift = shift_lo; shift <= (i64)t->m_hi + 2; shift++) {
+        int slot = (int)(shift % 5);
+        eq_fill(c, shift, 0, L, ebuf[slot]);
+        etag[slot] = shift;
+
+        /* anchors: candidate 3-runs expanded with closure + length rules
+         * (parse_anchored_shiftxor.cpp:20-56) */
+        memset(abuf[slot], 0, (size_t)L);
+        atag[slot] = shift;
+        {
+            const uint8_t *restrict eb = ebuf[slot];
+            uint8_t *restrict r2 = t2, *restrict r3 = t4;
+            for (i64 p = 0; p < L + 4; p++) r2[p] = eb[p] & eb[p + 1];
+            for (i64 p = 0; p < L; p++) r3[p] = r2[p] & eb[p + 2];
+            i64 hi = L - shift;
+            i64 p = 0;
+            while (p < L) {
+                p = next_set_byte(r3, p, L);
+                if (p >= L) break;
+                i64 s = p;
+                while (s > 0 && eb[s - 1]) s--;
+                i64 e = p + 3;
+                while (e < L && eb[e]) e++;
+                if (s < hi && e < hi) {
+                    i64 len = e - s;
+                    if (len >= ANCHOR_SIZE && len < 2 * shift)
+                        memset(abuf[slot] + s, 1, (size_t)len);
+                }
+                p = e + 1;
+            }
+        }
+
+        i64 m = shift - 2;
+        if (m < t->m_lo || m > t->m_hi) continue;
+        i32 didx = (i32)(m - c->min_motif);
+        int mslot = (int)(m % 5);
+        const uint8_t *restrict eb = ebuf[mslot];
+
+        /* perfect runs of eq & ~N with len >= min branch cutoff (>= 6):
+         * candidate 6-runs expanded (parse_perfect_shiftxor.cpp:146-226) */
+        i64 cutoff = m <= 6 ? 12 - m : m;
+        {
+            for (i64 p = 0; p < L; p++) pm[p] = eb[p] & !c->nmask[p];
+            uint8_t *restrict r2 = t2, *restrict r4 = t4, *restrict r6 = t8;
+            for (i64 p = 0; p < L + 8; p++) r2[p] = pm[p] & pm[p + 1];
+            for (i64 p = 0; p < L + 4; p++) r4[p] = r2[p] & r2[p + 2];
+            for (i64 p = 0; p < L; p++) r6[p] = r4[p] & r2[p + 4];
+            i64 p = 0;
+            while (p < L) {
+                p = next_set_byte(r6, p, L);
+                if (p >= L) break;
+                i64 s = p;
+                while (s > 0 && pm[s - 1]) s--;
+                i64 e = p + 6;
+                while (e < L && pm[e]) e++;
+                if (e - s >= cutoff) {
+                    iv_push(&c->perf_s[didx], s);
+                    iv_push(&c->perf_e[didx], e);
+                }
+                p = e + 1;
+            }
+        }
+
+        /* substitution windows over raw eq (threshold 7) */
+        if (nw > 0) {
+            win8_sums(eb, t2, t4, t8, L);
+            for (i64 w = 0; w < nw; w++)
+                qb[w] = (t8[w] >= 7) & (n8[w] == 0);
+            byte_runs_skip(qb, nw, &c->q7_s[didx], &c->q7_e[didx]);
+        }
+
+        /* anchored windows over the overlay (threshold 6,
+         * fasta_utils.cpp:145-165) */
+        memcpy(obuf, eb, (size_t)L);
+        i64 lo = m > 2 ? m - 2 : 1;
+        for (i64 i = lo; i <= m + 2; i++) {
+            if (i == m) continue;
+            int nslot = (int)(i % 5);
+            if (atag[nslot] == i) {
+                const uint8_t *restrict ab = abuf[nslot];
+                uint8_t *restrict ob = obuf;
+                for (i64 p = 0; p < L; p++) ob[p] |= ab[p];
+            }
+        }
+        if (nw > 0) {
+            win8_sums(obuf, t2, t4, t8, L);
+            for (i64 w = 0; w < nw; w++)
+                qb[w] = (t8[w] >= 6) & (n8[w] == 0);
+            byte_runs_skip(qb, nw, &c->q6_s[didx], &c->q6_e[didx]);
+        }
+    }
+
+    for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
+    free(obuf); free(pm); free(t2); free(t4); free(t8); free(qb);
+    (void)etag;
+    return NULL;
+}
+
 static void generate_events(RibbitCore *c) {
     i64 L = c->L;
     i32 nm = c->nmotifs;
@@ -323,71 +456,43 @@ static void generate_events(RibbitCore *c) {
     c->q6_s = (IVec *)calloc(nm, sizeof(IVec));
     c->q6_e = (IVec *)calloc(nm, sizeof(IVec));
 
-    /* rolling buffers keyed by shift % 5 */
-    uint8_t *ebuf[5], *abuf[5];
-    i64 etag[5], atag[5];
-    for (int i = 0; i < 5; i++) {
-        ebuf[i] = (uint8_t *)malloc((size_t)L);
-        abuf[i] = (uint8_t *)malloc((size_t)L);
-        etag[i] = atag[i] = -1;
-    }
-    uint8_t *obuf = (uint8_t *)malloc((size_t)L);
-    uint8_t *mbuf = (uint8_t *)malloc((size_t)L);
-
-    for (i64 shift = c->min_shift; shift <= c->max_shift; shift++) {
-        int slot = (int)(shift % 5);
-        eq_fill(c, shift, 0, L, ebuf[slot]);
-        etag[slot] = shift;
-
-        /* anchors of this shift */
-        memset(abuf[slot], 0, (size_t)L);
-        anchors_mark(c, shift, 0, L, abuf[slot]);
-        atag[slot] = shift;
-
-        /* per-motif events once the needed neighbors exist: motif m is
-         * complete when shift == min(m + 2, max_shift)... anchors for m+1,
-         * m+2 must be present; process m = shift - 2 */
-        i64 m = shift - 2;
-        if (m < c->min_motif || m > c->max_motif) continue;
-        i32 didx = (i32)(m - c->min_motif);
-        int mslot = (int)(m % 5);
-        /* perfect runs: eq & ~n, min length filter 12-m (m<=6) else m —
-         * the strictest branch cutoff (see events.py cutoff analysis) */
-        i64 cutoff = m <= 6 ? 12 - m : m;
-        for (i64 p = 0; p < L; p++)
-            mbuf[p] = ebuf[mslot][p] && !c->nmask[p];
-        {
-            i64 p = 0;
-            while (p < L) {
-                while (p < L && !mbuf[p]) p++;
-                if (p >= L) break;
-                i64 s = p;
-                while (p < L && mbuf[p]) p++;
-                if (p - s >= cutoff) {
-                    iv_push(&c->perf_s[didx], s);
-                    iv_push(&c->perf_e[didx], p);
-                }
-            }
-        }
-        /* substitution windows over raw eq (threshold 7) */
-        qual_runs(c, ebuf[mslot], 7, &c->q7_s[didx], &c->q7_e[didx]);
-        /* anchored windows over the overlay (threshold 6) */
-        memcpy(obuf, ebuf[mslot], (size_t)L);
-        i64 lo = m > 2 ? m - 2 : 1;
-        for (i64 i = lo; i <= m + 2; i++) {
-            if (i == m) continue;
-            int nslot = (int)(i % 5);
-            if (atag[nslot] == i) {
-                for (i64 p = 0; p < L; p++) obuf[p] |= abuf[nslot][p];
-            }
-            /* i < min_shift can't happen: lo >= 1 = min shift scanned */
-        }
-        qual_runs(c, obuf, 6, &c->q6_s[didx], &c->q6_e[didx]);
+    /* shared per-window N counts */
+    uint8_t *n8 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
+    {
+        uint8_t *nb = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
+        uint8_t *s2 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
+        uint8_t *s4 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
+        for (i64 p = 0; p < L; p++) nb[p] = c->nmask[p];
+        win8_sums(nb, s2, s4, n8, L);
+        free(nb); free(s2); free(s4);
     }
 
-    for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
-    free(obuf);
-    free(mbuf);
+    i64 nthreads = 1;
+    const char *env = getenv("RIBBIT_THREADS");
+    if (env) nthreads = atoll(env);
+    else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > nm) nthreads = nm;
+
+    GenTask *tasks = (GenTask *)malloc((size_t)nthreads * sizeof(GenTask));
+    pthread_t *tids = (pthread_t *)malloc((size_t)nthreads * sizeof(pthread_t));
+    for (i64 t = 0; t < nthreads; t++) {
+        tasks[t].c = c;
+        tasks[t].m_lo = c->min_motif + (i32)(t * nm / nthreads);
+        tasks[t].m_hi = c->min_motif + (i32)((t + 1) * nm / nthreads) - 1;
+        tasks[t].n8 = n8;
+    }
+    if (nthreads == 1) {
+        gen_worker(&tasks[0]);
+    } else {
+        for (i64 t = 0; t < nthreads; t++)
+            pthread_create(&tids[t], NULL, gen_worker, &tasks[t]);
+        for (i64 t = 0; t < nthreads; t++)
+            pthread_join(tids[t], NULL);
+    }
+    free(tasks);
+    free(tids);
+    free(n8);
 
     /* N-free segments */
     iv_init(&c->seg_a);
