@@ -101,6 +101,76 @@ static int emis_cmp(const void *pa, const void *pb) {
     return a->seq < b->seq ? -1 : (a->seq > b->seq ? 1 : 0);
 }
 
+/* k-way merge of per-channel event vectors into global (pos, didx, sub)
+ * order.  Per-channel vectors are chronological, which is already
+ * (pos, sub)-sorted in practice; a per-channel stable qsort runs only if a
+ * monotonicity violation is detected.  Equivalent to the global stable
+ * sort events.py does (within-channel ties keep generation order). */
+static void merge_channel_events(EVec *per, i32 nch, EVec *out) {
+    for (i32 d = 0; d < nch; d++) {
+        EVec *v = &per[d];
+        int sorted = 1;
+        for (i64 k = 1; k < v->n; k++) {
+            if (v->d[k].pos < v->d[k - 1].pos ||
+                (v->d[k].pos == v->d[k - 1].pos &&
+                 v->d[k].sub < v->d[k - 1].sub)) {
+                sorted = 0;
+                break;
+            }
+        }
+        if (!sorted)
+            qsort(v->d, (size_t)v->n, sizeof(Emis), emis_cmp);
+    }
+    i64 total = 0;
+    for (i32 d = 0; d < nch; d++) total += per[d].n;
+    if (out->cap < total) {
+        out->cap = total;
+        out->d = (Emis *)realloc(out->d, (size_t)total * sizeof(Emis));
+    }
+    out->n = 0;
+
+    /* binary heap of channel heads keyed (pos, sub, didx-as-tiebreak) */
+    i32 *heap = (i32 *)malloc((size_t)nch * sizeof(i32));
+    i64 *head = (i64 *)calloc((size_t)nch, sizeof(i64));
+    i32 hn = 0;
+
+#define EMIS_LT(d1, d2) (     per[d1].d[head[d1]].pos != per[d2].d[head[d2]].pos         ? per[d1].d[head[d1]].pos < per[d2].d[head[d2]].pos         : ((d1) != (d2) ? (d1) < (d2)            : per[d1].d[head[d1]].sub < per[d2].d[head[d2]].sub))
+
+    for (i32 d = 0; d < nch; d++) {
+        if (per[d].n == 0) continue;
+        i32 i = hn++;
+        heap[i] = d;
+        while (i > 0) {
+            i32 parent = (i - 1) >> 1;
+            if (EMIS_LT(heap[i], heap[parent])) {
+                i32 tmp = heap[i]; heap[i] = heap[parent]; heap[parent] = tmp;
+                i = parent;
+            } else break;
+        }
+    }
+    while (hn > 0) {
+        i32 d = heap[0];
+        out->d[out->n++] = per[d].d[head[d]];
+        head[d]++;
+        if (head[d] >= per[d].n) {
+            heap[0] = heap[--hn];
+        }
+        /* sift down */
+        i32 i = 0;
+        for (;;) {
+            i32 l = 2 * i + 1, r = 2 * i + 2, sm = i;
+            if (l < hn && EMIS_LT(heap[l], heap[sm])) sm = l;
+            if (r < hn && EMIS_LT(heap[r], heap[sm])) sm = r;
+            if (sm == i) break;
+            i32 tmp = heap[i]; heap[i] = heap[sm]; heap[sm] = tmp;
+            i = sm;
+        }
+    }
+#undef EMIS_LT
+    free(heap);
+    free(head);
+}
+
 /* ------------------------------------------------------------------ */
 /* core handle                                                        */
 /* ------------------------------------------------------------------ */
@@ -128,6 +198,12 @@ typedef struct RibbitCore {
     /* reusable scratch vectors for the lattice hot paths (no recursion
      * during use: the tail-recursive rules are loops via goto restart) */
     IVec scr[19];
+
+    /* packed overlay bitmaps per motif channel (bit p of word p>>6), built
+     * during host generation; queries fall back to recompute when absent
+     * (device-event path or very long sequences) */
+    uint64_t **ov_pack;
+    i64 ov_words;
 } RibbitCore;
 
 static void iv_reset(IVec *v) { v->n = 0; }
@@ -219,6 +295,45 @@ static void overlay_fill(const RibbitCore *c, i64 m, i64 a, i64 b,
     }
 }
 
+static i64 pack_popcount(const uint64_t *w, i64 a, i64 b) {
+    i64 wa = a >> 6, wb = (b - 1) >> 6;
+    uint64_t first_mask = ~0ULL << (a & 63);
+    uint64_t last_mask = (b & 63) ? ((1ULL << (b & 63)) - 1) : ~0ULL;
+    if (wa == wb)
+        return (i64)__builtin_popcountll(w[wa] & first_mask & last_mask);
+    i64 cnt = (i64)__builtin_popcountll(w[wa] & first_mask);
+    for (i64 i = wa + 1; i < wb; i++)
+        cnt += (i64)__builtin_popcountll(w[i]);
+    cnt += (i64)__builtin_popcountll(w[wb] & last_mask);
+    return cnt;
+}
+
+/* longest run of 1-bits in packed words over [a, b) */
+static i64 pack_longest_run(const uint64_t *words, i64 a, i64 b) {
+    i64 best = 0, carry = 0;
+    i64 wa = a >> 6, wb = (b - 1) >> 6;
+    for (i64 i = wa; i <= wb; i++) {
+        uint64_t w = words[i];
+        if (i == wa && (a & 63)) w &= ~0ULL << (a & 63);
+        if (i == wb && (b & 63)) w &= (1ULL << (b & 63)) - 1;
+        if (w == ~0ULL) {
+            carry += 64;
+            if (carry > best) best = carry;
+            continue;
+        }
+        if (w == 0) { carry = 0; continue; }
+        i64 pre = (i64)__builtin_ctzll(~w);           /* ones at the bottom */
+        if (carry + pre > best) best = carry + pre;
+        uint64_t x = w;
+        i64 len = 0;
+        while (x) { x &= x << 1; len++; }
+        if (len > best) best = len;
+        carry = (i64)__builtin_clzll(~w);             /* ones at the top */
+    }
+    if (carry > best) best = carry;
+    return best;
+}
+
 static i64 overlay_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
     i64 shift = (i64)midx + c->min_shift;
     if (midx < 0) shift += c->nshifts;
@@ -229,6 +344,8 @@ static i64 overlay_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
     if (a < 0) a = 0;
     if (b > c->L) b = c->L;
     if (b <= a) return 0;
+    if (c->ov_pack && c->ov_pack[shift - c->min_motif])
+        return pack_popcount(c->ov_pack[shift - c->min_motif], a, b);
     uint8_t *buf = (uint8_t *)malloc((size_t)(b - a));
     overlay_fill(c, shift, a, b, buf);
     i64 cnt = 0;
@@ -245,6 +362,9 @@ static i64 overlay_longest_run(const RibbitCore *c, i32 midx, i64 a, i64 b) {
     if (a < 0) a = 0;
     if (b > c->L) b = c->L;
     if (b <= a) return 0;
+    if (shift >= c->min_motif && shift <= c->max_motif
+        && c->ov_pack && c->ov_pack[shift - c->min_motif])
+        return pack_longest_run(c->ov_pack[shift - c->min_motif], a, b);
     uint8_t *buf = (uint8_t *)malloc((size_t)(b - a));
     if (shift < c->min_motif || shift > c->max_motif)
         eq_fill(c, shift, a, b - a, buf);
@@ -438,6 +558,20 @@ static void *gen_worker(void *arg) {
                 qb[w] = (t8[w] >= 6) & (n8[w] == 0);
             byte_runs_skip(qb, nw, &c->q6_s[didx], &c->q6_e[didx]);
         }
+
+        /* pack the overlay for O(range/64) popcount / longest-run queries
+         * (the lattices' retain rules, refinement's continuous-ones guard) */
+        if (c->ov_pack) {
+            uint64_t *dst = c->ov_pack[didx];
+            for (i64 wi = 0; wi < c->ov_words; wi++) {
+                uint64_t word = 0;
+                i64 base = wi << 6;
+                i64 lim = L - base < 64 ? L - base : 64;
+                for (i64 bit = 0; bit < lim; bit++)
+                    word |= (uint64_t)(obuf[base + bit] & 1) << bit;
+                dst[wi] = word;
+            }
+        }
     }
 
     for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
@@ -465,6 +599,17 @@ static void generate_events(RibbitCore *c) {
         for (i64 p = 0; p < L; p++) nb[p] = c->nmask[p];
         win8_sums(nb, s2, s4, n8, L);
         free(nb); free(s2); free(s4);
+    }
+
+    /* packed overlay cache: ~nmotifs * L/8 bytes; skipped for very long
+     * sequences (queries then recompute per range) */
+    const char *cache_env = getenv("RIBBIT_OVERLAY_CACHE_MAX");
+    i64 cache_max = cache_env ? atoll(cache_env) : (i64)64 << 20;
+    if (L <= cache_max) {
+        c->ov_words = (L + 63) >> 6;
+        c->ov_pack = (uint64_t **)calloc((size_t)nm, sizeof(uint64_t *));
+        for (i32 d = 0; d < nm; d++)
+            c->ov_pack[d] = (uint64_t *)calloc((size_t)c->ov_words, 8);
     }
 
     i64 nthreads = 1;
@@ -1675,13 +1820,17 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
 }
 
 static void run_substitution_scan(RibbitCore *c) {
-    EVec events;
-    ev_init(&events);
+    EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
     for (i32 didx = 0; didx < c->nmotifs; didx++) {
         i64 m = c->min_motif + didx;
-        windowed_emissions(c, &c->q7_s[didx], &c->q7_e[didx], m, didx, &events);
+        windowed_emissions(c, &c->q7_s[didx], &c->q7_e[didx], m, didx,
+                           &per[didx]);
     }
-    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+    EVec events;
+    ev_init(&events);
+    merge_channel_events(per, c->nmotifs, &events);
+    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
+    free(per);
 
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
@@ -1699,13 +1848,17 @@ static void run_substitution_scan(RibbitCore *c) {
 }
 
 static void run_anchored_scan(RibbitCore *c) {
-    EVec events;
-    ev_init(&events);
+    EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
     for (i32 didx = 0; didx < c->nmotifs; didx++) {
         i64 m = c->min_motif + didx;
-        windowed_emissions(c, &c->q6_s[didx], &c->q6_e[didx], m, didx, &events);
+        windowed_emissions(c, &c->q6_s[didx], &c->q6_e[didx], m, didx,
+                           &per[didx]);
     }
-    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+    EVec events;
+    ev_init(&events);
+    merge_channel_events(per, c->nmotifs, &events);
+    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
+    free(per);
 
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
@@ -1885,6 +2038,10 @@ void ribbit_core_destroy(RibbitCore *c) {
         free(c->perf_s); free(c->perf_e);
         free(c->q7_s); free(c->q7_e);
         free(c->q6_s); free(c->q6_e);
+    }
+    if (c->ov_pack) {
+        for (i32 d = 0; d < c->nmotifs; d++) free(c->ov_pack[d]);
+        free(c->ov_pack);
     }
     iv_free(&c->seg_a);
     iv_free(&c->seg_b);
