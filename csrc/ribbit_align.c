@@ -42,27 +42,45 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
     int32_t best = 0;
     *end_ref = -1;
 
-    for (int32_t i = 0; i < C; i++) {
-        int32_t diag_base = 0;      /* H_prev[j-1]; 0 for j == 0 */
-        int32_t colmax = 0;
-        int64_t Pmax = INT64_MIN;   /* max over k<j of (h0[k] + k*GAP_E) */
-        for (int32_t j = 0; j < R; j++) {
-            int32_t h_old = H[j];
-            int32_t diag = diag_base + score(ref[i], read[j]);
-            if (diag > WORD_MAX) diag = WORD_MAX;
-            diag_base = h_old;
+    /* h0 workspace + previous-H shifted view; the per-column work is split
+     * into vectorizable passes with only the F prefix-max scan sequential */
+    int32_t *h0 = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+    int32_t *F = (int32_t *)malloc((size_t)R * sizeof(int32_t));
 
-            int32_t h0 = max32(max32(diag, E[j]), 0);
-            int32_t F;
-            if (j == 0) F = 0;
-            else {
-                int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
-                F = f > 0 ? (int32_t)f : 0;
+    for (int32_t i = 0; i < C; i++) {
+        int8_t rc = ref[i];
+        /* pass 1 (vector): h0[j] = max(diag, E[j], 0) with
+         * diag = H_prev[j-1] + score, clamped at WORD_MAX */
+        for (int32_t j = 0; j < R; j++) {
+            int32_t diag = (j ? H[j - 1] : 0)
+                + (((rc == read[j]) & (rc < 4)) ? 2 : -2);
+            if (diag > WORD_MAX) diag = WORD_MAX;
+            int32_t v = diag > E[j] ? diag : E[j];
+            h0[j] = v > 0 ? v : 0;
+        }
+        /* pass 2 (sequential scan): F from the running prefix max of
+         * A[k] = h0[k] + k*GAP_E over k < j */
+        {
+            int64_t Pmax = INT64_MIN;
+            F[0] = 0;
+            for (int32_t j = 0; j < R; j++) {
+                if (j) {
+                    int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
+                    F[j] = f > 0 ? (int32_t)f : 0;
+                }
+                int64_t a = (int64_t)h0[j] + (int64_t)j * GAP_E;
+                if (a > Pmax) Pmax = a;
             }
-            int32_t Hn = max32(h0, F);
-            E[j] = max32(max32(E[j] - GAP_E, Hn - GAP_O), 0);
+        }
+        /* pass 3 (vector): Hn, E update, column max */
+        int32_t colmax = 0;
+        for (int32_t j = 0; j < R; j++) {
+            int32_t Hn = h0[j] > F[j] ? h0[j] : F[j];
+            int32_t e1 = E[j] - GAP_E;
+            int32_t e2 = Hn - GAP_O;
+            int32_t e = e1 > e2 ? e1 : e2;
+            E[j] = e > 0 ? e : 0;
             H[j] = Hn;
-            Pmax = max64(Pmax, (int64_t)h0 + (int64_t)j * GAP_E);
             if (Hn > colmax) colmax = Hn;
         }
         if (colmax > best) {
@@ -72,6 +90,8 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
         }
         if (terminate >= 0 && colmax == terminate) break;
     }
+    free(h0);
+    free(F);
     return best;
 }
 

@@ -1,13 +1,17 @@
 /* Native diagonal-voting motif inference for large motifs.
  *
- * Scalar implementation of the exact semantics in
- * ribbit_tpu/refine.py:_most_frequent_longer_motif_scalar (the validated
- * port of the reference's mostFrequentLongerMotif, parse_seed.cpp:153-256):
- * every candidate row start walks downstream then upstream in ~m jumps with
- * ±2 jitter, greedily keeping the jitter with the highest m-length match
- * count (strict '>', x scanned -2..2, all-zero keeps -2), plus a partial
- * prefix vote when the upstream walk overshoots; first row with the strictly
- * highest total wins; all-zero votes leave the index at 0.
+ * Exact semantics of ribbit_tpu/refine.py:_most_frequent_longer_motif_scalar
+ * (the validated port of the reference's mostFrequentLongerMotif,
+ * parse_seed.cpp:153-256): every candidate row start walks downstream then
+ * upstream in ~m jumps with ±2 jitter, greedily keeping the jitter with the
+ * highest m-length match count (strict '>', x scanned -2..2, all-zero keeps
+ * -2), plus a partial prefix vote when the upstream walk overshoots; first
+ * row with the strictly highest total wins; all-zero votes leave the index
+ * at 0.
+ *
+ * The scalar break conditions are monotone in the inner index, so each
+ * jitter's count is an exact fixed-trip masked sum over a clamped length —
+ * written branch-free so the compiler vectorizes it.
  *
  * Returns the winning row index; the caller assembles the 2-bit motif unit
  * (which may exceed 64 bits for m up to 100).  `total_len` guards reads:
@@ -17,66 +21,87 @@
 
 #include <stdint.h>
 
+typedef int64_t i64;
+
+static inline i64 min3(i64 a, i64 b, i64 c) {
+    i64 m = a < b ? a : b;
+    return m < c ? m : c;
+}
+
 int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
                            int32_t total_len, int32_t seed_start,
                            int32_t seed_sequence_length, int32_t m) {
-    int32_t seed_end = seed_start + seed_sequence_length;
+    i64 seed_end = (i64)seed_start + seed_sequence_length;
+    i64 L = total_len;
+    i64 M = m;
     int32_t mmotif_index = 0;
-    int64_t max_count = 0;
+    i64 max_count = 0;
 
-    for (int32_t row = seed_start; row <= seed_end - m; row++) {
-        int64_t row_count = 0;
+    for (i64 row = seed_start; row <= seed_end - M; row++) {
+        i64 row_count = 0;
+        const int8_t *restrict rowp = code + row;
+        i64 row_lim = L - row;              /* rows beyond L end the scan */
 
-        int32_t dstream = row + m;
+        i64 dstream = row + M;
         while (dstream < seed_end) {
-            int32_t max_di = -2;
-            int64_t max_dc = 0;
-            for (int32_t x = -2; x <= 2; x++) {
-                int64_t dc = 0;
-                for (int32_t i = 0; i < m; i++) {
-                    int32_t col = dstream + x + i;
-                    if (col >= seed_end || col >= total_len
-                        || row + i >= total_len) break;
-                    if (!n_mask[col] && code[row + i] == code[col]) dc++;
+            i64 max_di = -2, max_dc = 0;
+            for (i64 x = -2; x <= 2; x++) {
+                i64 base = dstream + x;
+                i64 lim = min3(M, seed_end - base, L - base);
+                if (row_lim < lim) lim = row_lim;
+                i64 dc = 0;
+                if (lim > 0) {
+                    const int8_t *restrict b = code + base;
+                    const uint8_t *restrict nn = n_mask + base;
+                    for (i64 i = 0; i < lim; i++)
+                        dc += (i64)((!nn[i]) & (rowp[i] == b[i]));
                 }
                 if (dc > max_dc) { max_dc = dc; max_di = x; }
             }
             row_count += max_dc;
-            dstream += max_di + m;
+            dstream += max_di + M;
         }
 
-        int32_t ustream = row - m;
+        i64 ustream = row - M;
         while (ustream > seed_start) {
-            int32_t max_di = -2;
-            int64_t max_dc = 0;
-            for (int32_t x = -2; x <= 2; x++) {
-                int64_t dc = 0;
-                for (int32_t i = 0; i < m; i++) {
-                    int32_t col = ustream + x + i;
-                    if (col < 0) break;
-                    if (col >= total_len || row + i >= total_len) break;
-                    if (!n_mask[col] && code[row + i] == code[col]) dc++;
+            i64 max_di = -2, max_dc = 0;
+            for (i64 x = -2; x <= 2; x++) {
+                i64 base = ustream + x;
+                /* the scalar breaks at the first col < 0, which is i == 0 */
+                i64 lim = base < 0 ? 0 : min3(M, L - base, row_lim);
+                i64 dc = 0;
+                if (lim > 0) {
+                    const int8_t *restrict b = code + base;
+                    const uint8_t *restrict nn = n_mask + base;
+                    for (i64 i = 0; i < lim; i++)
+                        dc += (i64)((!nn[i]) & (rowp[i] == b[i]));
                 }
                 if (dc > max_dc) { max_dc = dc; max_di = x; }
             }
             row_count += max_dc;
-            ustream += max_di - m;
+            ustream += max_di - M;
         }
 
-        if (ustream < seed_start && seed_start - ustream < m) {
-            int32_t initial_lastrow = row + m - 1;
-            int32_t pcindex = seed_start + (m + (ustream - seed_start)) - 1;
-            int32_t prefix_rows = m + (ustream - seed_start);
-            int64_t max_dc = 0;
-            for (int32_t x = -2; x <= 2; x++) {
-                int64_t dc = 0;
-                for (int32_t i = 0; i < prefix_rows; i++) {
-                    int32_t col = pcindex + x - i;
-                    if (col >= seed_end || col < seed_start) break;
-                    int32_t rw = initial_lastrow - i;
-                    if (col >= total_len || rw >= total_len) break;
-                    if (!n_mask[col] && code[rw] == code[col]) dc++;
+        if (ustream < seed_start && seed_start - ustream < M) {
+            i64 initial_lastrow = row + M - 1;
+            i64 pcindex = ustream + M - 1;
+            i64 prefix_rows = M + (ustream - seed_start);
+            i64 max_dc = 0;
+            for (i64 x = -2; x <= 2; x++) {
+                i64 pc = pcindex + x;
+                /* cols decrease with i: col >= seed_end or col/row >= L can
+                 * only hold at i == 0; col < seed_start clamps the tail */
+                i64 lim;
+                if (pc >= seed_end || pc >= L || initial_lastrow >= L)
+                    lim = 0;
+                else {
+                    lim = prefix_rows;
+                    if (pc - seed_start + 1 < lim) lim = pc - seed_start + 1;
                 }
+                i64 dc = 0;
+                for (i64 i = 0; i < lim; i++)
+                    dc += (i64)((!n_mask[pc - i])
+                                & (code[initial_lastrow - i] == code[pc - i]));
                 if (dc > max_dc) max_dc = dc;
             }
             row_count += max_dc;
@@ -84,7 +109,7 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
 
         if (row_count > max_count) {
             max_count = row_count;
-            mmotif_index = row;
+            mmotif_index = (int32_t)row;
         }
     }
     return mmotif_index;
