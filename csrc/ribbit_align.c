@@ -16,6 +16,10 @@
 #include <string.h>
 #include <stdio.h>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 #define GAP_O 3
 #define GAP_E 1
 #define WORD_MAX 32767
@@ -58,8 +62,63 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
             int32_t v = diag > E[j] ? diag : E[j];
             h0[j] = v > 0 ? v : 0;
         }
-        /* pass 2 (sequential scan): F from the running prefix max of
-         * A[k] = h0[k] + k*GAP_E over k < j */
+        /* pass 2: F from the running prefix max of A[k] = h0[k] + k*GAP_E
+         * over k < j.  AVX-512 path: blockwise prefix-max (log-step lane
+         * slides) with a broadcast carry; values stay well inside i32
+         * (h0 <= 32767, k*GAP_E <= R). */
+#ifdef __AVX512F__
+        {
+            const int32_t NEG = -(1 << 30);
+            __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                             10, 11, 12, 13, 14, 15);
+            __m512i zero_blk = _mm512_set1_epi32(NEG);
+            __m512i carry = _mm512_set1_epi32(NEG);
+            __m512i gapvec = _mm512_set1_epi32(GAP_O + GAP_E);
+            int32_t j = 0;
+            for (; j + 16 <= R; j += 16) {
+                __m512i a = _mm512_add_epi32(
+                    _mm512_loadu_si512(h0 + j),
+                    _mm512_mullo_epi32(
+                        _mm512_add_epi32(iota, _mm512_set1_epi32(j)),
+                        _mm512_set1_epi32(GAP_E)));
+                /* in-register prefix max */
+                __m512i p = a;
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 15));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 14));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 12));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 8));
+                p = _mm512_max_epi32(p, carry);
+                /* F[j..j+15] = max(0, P[j-1] - GAP_O - (j-1)*GAP_E); the
+                 * shifted P[j-1] is p slid right one lane with the carry
+                 * entering lane 0 */
+                __m512i pshift = _mm512_alignr_epi32(p, zero_blk, 15);
+                pshift = _mm512_mask_mov_epi32(pshift, 1, carry);
+                __m512i je = _mm512_mullo_epi32(
+                    _mm512_add_epi32(iota, _mm512_set1_epi32(j)),
+                    _mm512_set1_epi32(GAP_E));
+                /* P[j-1] - GAP_O - (j-1)*GAP_E = P[j-1] - (GAP_O+GAP_E)
+                 *   - (j*GAP_E - 2*GAP_E) ... compute directly instead: */
+                __m512i f = _mm512_sub_epi32(
+                    _mm512_sub_epi32(pshift, gapvec),
+                    _mm512_sub_epi32(je, _mm512_set1_epi32(2 * GAP_E)));
+                f = _mm512_max_epi32(f, _mm512_setzero_si512());
+                _mm512_storeu_si512(F + j, f);
+                carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), p);
+            }
+            /* scalar tail + fix F[0] */
+            int64_t Pmax = _mm512_cvtsi512_si32(carry);
+            if (j == 0) Pmax = INT64_MIN;
+            for (; j < R; j++) {
+                if (j) {
+                    int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
+                    F[j] = f > 0 ? (int32_t)f : 0;
+                }
+                int64_t a = (int64_t)h0[j] + (int64_t)j * GAP_E;
+                if (a > Pmax) Pmax = a;
+            }
+            F[0] = 0;
+        }
+#else
         {
             int64_t Pmax = INT64_MIN;
             F[0] = 0;
@@ -72,6 +131,7 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
                 if (a > Pmax) Pmax = a;
             }
         }
+#endif
         /* pass 3 (vector): Hn, E update, column max */
         int32_t colmax = 0;
         for (int32_t j = 0; j < R; j++) {
