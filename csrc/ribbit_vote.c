@@ -21,11 +21,51 @@
 
 #include <stdint.h>
 
+#ifdef __AVX512BW__
+#include <immintrin.h>
+#endif
+
 typedef int64_t i64;
 
 static inline i64 min3(i64 a, i64 b, i64 c) {
     i64 m = a < b ? a : b;
     return m < c ? m : c;
+}
+
+/* count of i < lim with code_a[i] == code_b[i] and !nn[i] */
+static inline i64 match_count(const int8_t *a, const int8_t *b,
+                              const uint8_t *nn, i64 lim) {
+#ifdef __AVX512BW__
+    i64 dc = 0;
+    i64 i = 0;
+    for (; i + 64 <= lim; i += 64) {
+        __mmask64 eq = _mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void *)(a + i)),
+            _mm512_loadu_si512((const void *)(b + i)));
+        __mmask64 notn = _mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void *)(nn + i)),
+            _mm512_setzero_si512());
+        dc += (i64)__builtin_popcountll(eq & notn);
+    }
+    if (i < lim) {
+        __mmask64 tail = (~0ULL) >> (64 - (lim - i));
+        __mmask64 eq = _mm512_mask_cmpeq_epi8_mask(
+            tail,
+            _mm512_maskz_loadu_epi8(tail, (const void *)(a + i)),
+            _mm512_maskz_loadu_epi8(tail, (const void *)(b + i)));
+        __mmask64 notn = _mm512_mask_cmpeq_epi8_mask(
+            tail,
+            _mm512_maskz_loadu_epi8(tail, (const void *)(nn + i)),
+            _mm512_setzero_si512());
+        dc += (i64)__builtin_popcountll(eq & notn);
+    }
+    return dc;
+#else
+    i64 dc = 0;
+    for (i64 i = 0; i < lim; i++)
+        dc += (i64)((!nn[i]) & (a[i] == b[i]));
+    return dc;
+#endif
 }
 
 int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
@@ -49,13 +89,8 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
                 i64 base = dstream + x;
                 i64 lim = min3(M, seed_end - base, L - base);
                 if (row_lim < lim) lim = row_lim;
-                i64 dc = 0;
-                if (lim > 0) {
-                    const int8_t *restrict b = code + base;
-                    const uint8_t *restrict nn = n_mask + base;
-                    for (i64 i = 0; i < lim; i++)
-                        dc += (i64)((!nn[i]) & (rowp[i] == b[i]));
-                }
+                i64 dc = lim > 0
+                    ? match_count(rowp, code + base, n_mask + base, lim) : 0;
                 if (dc > max_dc) { max_dc = dc; max_di = x; }
             }
             row_count += max_dc;
@@ -69,13 +104,8 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
                 i64 base = ustream + x;
                 /* the scalar breaks at the first col < 0, which is i == 0 */
                 i64 lim = base < 0 ? 0 : min3(M, L - base, row_lim);
-                i64 dc = 0;
-                if (lim > 0) {
-                    const int8_t *restrict b = code + base;
-                    const uint8_t *restrict nn = n_mask + base;
-                    for (i64 i = 0; i < lim; i++)
-                        dc += (i64)((!nn[i]) & (rowp[i] == b[i]));
-                }
+                i64 dc = lim > 0
+                    ? match_count(rowp, code + base, n_mask + base, lim) : 0;
                 if (dc > max_dc) { max_dc = dc; max_di = x; }
             }
             row_count += max_dc;
