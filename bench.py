@@ -19,25 +19,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ribbit_tpu.config import RibbitConfig
-from ribbit_tpu.pipeline import process_sequence
+from ribbit_tpu.pipeline import process_fasta
 from ribbit_tpu.sim import simulate
 
 
 def main() -> None:
     loci = int(os.environ.get("RIBBIT_BENCH_LOCI", "60"))
+    contigs = int(os.environ.get("RIBBIT_BENCH_CONTIGS", "4"))
     backend = os.environ.get("RIBBIT_BENCH_BACKEND", "host")
 
-    sim = simulate(num_loci=loci, seed=42, name="bench")
+    # multi-contig genome (real genomes are; contigs are the reference's
+    # independent unit of work, ribbit.cpp:269-280)
     fa = "/tmp/ribbit_bench.fa"
-    sim.to_fasta(fa)
-    mbp = len(sim.sequence) / 1e6
+    total_bp = 0
+    with open(fa, "w") as fh:
+        for ci in range(contigs):
+            sim = simulate(num_loci=loci // contigs, seed=42 + ci,
+                           name=f"bench{ci}")
+            fh.write(f">bench{ci}\n")
+            for i in range(0, len(sim.sequence), 80):
+                fh.write(sim.sequence[i:i + 80] + "\n")
+            total_bp += len(sim.sequence)
+    mbp = total_bp / 1e6
 
     # --- ours ---
     cfg = RibbitConfig.create()
-    lines: list[str] = []
     t0 = time.perf_counter()
-    process_sequence("bench", sim.sequence, cfg, out=lines,
-                     scan_backend=backend)
+    lines = process_fasta(fa, cfg, scan_backend=backend)
     ours_s = time.perf_counter() - t0
     ours_mbps = mbp / ours_s
 

@@ -204,6 +204,8 @@ typedef struct RibbitCore {
      * (device-event path or very long sequences) */
     uint64_t **ov_pack;
     i64 ov_words;
+
+    i32 nthreads;               /* 0 = auto (env RIBBIT_THREADS or ncpu) */
 } RibbitCore;
 
 static void iv_reset(IVec *v) { v->n = 0; }
@@ -612,10 +614,12 @@ static void generate_events(RibbitCore *c) {
             c->ov_pack[d] = (uint64_t *)calloc((size_t)c->ov_words, 8);
     }
 
-    i64 nthreads = 1;
-    const char *env = getenv("RIBBIT_THREADS");
-    if (env) nthreads = atoll(env);
-    else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    i64 nthreads = c->nthreads;
+    if (nthreads <= 0) {
+        const char *env = getenv("RIBBIT_THREADS");
+        if (env) nthreads = atoll(env);
+        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    }
     if (nthreads < 1) nthreads = 1;
     if (nthreads > nm) nthreads = nm;
 
@@ -1924,6 +1928,8 @@ static void final_merge(RibbitCore *c) {
 /* public API (ctypes)                                                */
 /* ------------------------------------------------------------------ */
 
+void ribbit_core_set_threads(RibbitCore *c, i32 n);
+
 RibbitCore *ribbit_core_create(const int8_t *code, const uint8_t *nmask,
                                i64 L, i32 min_motif, i32 max_motif) {
     RibbitCore *c = (RibbitCore *)calloc(1, sizeof(RibbitCore));
@@ -2009,6 +2015,8 @@ i64 ribbit_core_scan(RibbitCore *c) {
 #undef TICK
     return c->final_seeds.n;
 }
+
+void ribbit_core_set_threads(RibbitCore *c, i32 n) { c->nthreads = n; }
 
 void ribbit_core_get_seeds(RibbitCore *c, i64 *out) {
     for (i64 i = 0; i < c->final_seeds.n; i++) {

@@ -1020,7 +1020,8 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
                         i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
                         const i64 *min_length_tbl, const i64 *perfect_units_tbl,
                         i64 tbl_size, const char *seq_id,
-                        const i64 *seeds, i64 nseeds, i64 *out_len) {
+                        const i64 *seeds, i64 nseeds, i32 req_threads,
+                        i64 *out_len) {
     RefinePool pool;
     pool.proto.core = core;
     pool.proto.code = code;
@@ -1042,10 +1043,12 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
                                  sizeof(StrBuf));
     pool.next = 0;
 
-    i64 nthreads = 1;
-    const char *env = getenv("RIBBIT_THREADS");
-    if (env) nthreads = atoll(env);
-    else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    i64 nthreads = req_threads;
+    if (nthreads <= 0) {
+        const char *env = getenv("RIBBIT_THREADS");
+        if (env) nthreads = atoll(env);
+        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    }
     if (nthreads < 1) nthreads = 1;
     if (nthreads > nseeds) nthreads = nseeds > 0 ? nseeds : 1;
 

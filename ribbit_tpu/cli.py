@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stderr-output", action="store_true",
                    help="mirror the reference quirk of writing results to "
                         "stderr when no -o is given")
+    p.add_argument("--workers", type=int, default=None,
+                   help="parallel contigs (default: min(ncpu, ncontigs); "
+                        "output stays byte-identical)")
     return p
 
 
@@ -83,13 +86,12 @@ def main(argv=None) -> int:
     print("Purity threshold: 0.85", file=sys.stderr)
 
     t0 = time.time()
-    total = 0
-    for name, seq in read_fasta(args.input_file):
-        print(f"Processing sequence {name}", file=sys.stderr)
-        lines = process_sequence(name, seq, cfg, scan_backend=args.backend)
-        for line in lines:
-            out.write(line + "\n")
-        total += len(seq)
+    from .pipeline import process_fasta
+    total = sum(len(seq) for _n, seq in read_fasta(args.input_file))
+    lines = process_fasta(args.input_file, cfg, scan_backend=args.backend,
+                          workers=args.workers)
+    for line in lines:
+        out.write(line + "\n")
     elapsed = time.time() - t0
     print(f"Done: {total} bp in {elapsed:.2f}s "
           f"({total / max(elapsed, 1e-9) / 1e6:.3f} Mbp/s)", file=sys.stderr)

@@ -19,19 +19,29 @@ from .native import _compile, _CSRC
 
 _lib = None
 _tried = False
+_lock = __import__("threading").Lock()
 
 
 def get_core_lib():
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
+    with _lock:
+        return _get_core_lib_locked()
+
+
+def _get_core_lib_locked():
+    global _lib, _tried
+    if _tried:
+        return _lib
     import os
     if os.environ.get("RIBBIT_NO_NATIVE"):
+        _tried = True
         return None
     so = _compile([_CSRC / "ribbit_core.c", _CSRC / "ribbit_refine.c",
                    _CSRC / "ribbit_align.c", _CSRC / "ribbit_vote.c"])
     if so is None:
+        _tried = True
         return None
     lib = ctypes.CDLL(str(so))
     P8 = ctypes.POINTER(ctypes.c_int8)
@@ -59,10 +69,13 @@ def get_core_lib():
         ctypes.c_void_p, P8, PU8, P8, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         P64, P64, ctypes.c_int64, ctypes.c_char_p,
-        P64, ctypes.c_int64, P64]
+        P64, ctypes.c_int64, ctypes.c_int32, P64]
+    lib.ribbit_core_set_threads.restype = None
+    lib.ribbit_core_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.ribbit_buffer_free.restype = None
     lib.ribbit_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
     _lib = lib
+    _tried = True
     return _lib
 
 
@@ -71,17 +84,20 @@ class CoreSession:
     alive for the C side)."""
 
     def __init__(self, code: np.ndarray, n_mask: np.ndarray,
-                 cfg: RibbitConfig):
+                 cfg: RibbitConfig, nthreads: int = 0):
         self.lib = get_core_lib()
         if self.lib is None:
             raise RuntimeError("native core unavailable")
         self.code = np.ascontiguousarray(code, dtype=np.int8)
         self.n_mask = np.ascontiguousarray(n_mask).view(np.uint8)
         self.cfg = cfg
+        self.nthreads = nthreads
         self.handle = self.lib.ribbit_core_create(
             self.code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             self.n_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             code.shape[0], cfg.min_motif, cfg.max_motif)
+        if nthreads:
+            self.lib.ribbit_core_set_threads(self.handle, nthreads)
 
     def set_events(self, perf, q7, q6) -> None:
         """Inject device-produced events.  Each of perf/q7/q6 is a tuple of
@@ -136,7 +152,7 @@ class CoreSession:
             self.code.shape[0], cfg.min_motif, cfg.max_motif, cfg.min_shift,
             min_len.ctypes.data_as(P64), perf_units.ctypes.data_as(P64),
             tbl, sequence_id.encode("ascii"),
-            seeds.ctypes.data_as(P64), seeds.shape[0],
+            seeds.ctypes.data_as(P64), seeds.shape[0], self.nthreads,
             ctypes.byref(out_len))
         text = ctypes.string_at(buf, out_len.value).decode("ascii")
         self.lib.ribbit_buffer_free(buf)
