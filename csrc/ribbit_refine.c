@@ -1089,3 +1089,8 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
 }
 
 void ribbit_buffer_free(char *p) { free(p); }
+
+/* test hook: expose the libstdc++ iteration-order simulation */
+void ribbit_umap_order(const i64 *keys, i64 n, i64 *out) {
+    libstdcxx_order(keys, n, out);
+}

@@ -1,0 +1,41 @@
+"""CLI option parity vs the reference oracle binary: non-default motif
+ranges and dual-type (int or per-motif-size TSV) threshold options
+(ribbit.cpp:25-64, 82-177).  Skipped when the oracle is not built."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ORACLE = pathlib.Path(__file__).parent.parent / "tools" / "oracle" / "ribbit_oracle"
+
+
+def _run_pair(fa, tmp_path, extra):
+    ours_bed = tmp_path / "ours.bed"
+    orc_bed = tmp_path / "oracle.bed"
+    r = subprocess.run([str(ORACLE), "-i", str(fa), "-o", str(orc_bed)] + extra,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, "-m", "ribbit_tpu.cli", "-i", str(fa),
+                        "-o", str(ours_bed)] + extra, capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert ours_bed.read_text() == orc_bed.read_text()
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+@pytest.mark.parametrize("extra", [
+    ["-m", "5", "-M", "40"],
+    ["-m", "2", "-M", "15", "--min-units", "3"],
+    ["-l", "20"],
+    ["--perfect-units", "3"],
+])
+def test_flag_parity(golden_dir, tmp_path, extra):
+    _run_pair(golden_dir / "g1.fa", tmp_path, extra)
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+def test_tsv_minlength_parity(golden_dir, tmp_path):
+    tsv = tmp_path / "minlen.tsv"
+    tsv.write_text("".join(f"{m}\t{max(12, m * 3)}\n" for m in range(2, 101)))
+    _run_pair(golden_dir / "g1.fa", tmp_path, ["-l", str(tsv)])
