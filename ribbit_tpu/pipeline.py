@@ -177,9 +177,125 @@ def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
     return lines
 
 
+def _choose_splits(n_mask: np.ndarray, chunk_size: int,
+                   min_gap: int = 512, strict: bool = False) -> List[int]:
+    """Split points for chunked processing, preferentially at the midpoints
+    of N-runs >= min_gap.
+
+    Rationale (exactness): no seed, window, or qualified run crosses an N
+    position, and anchor-qualifying eq-runs are < 2*max_shift ~ 204 bp — a
+    run crossing the midpoint of an N-run >= 512 is itself >= 410 long and
+    can never be an anchor.  Chunks that overlap by >= half the N-run
+    therefore reproduce the whole-contig scan exactly around the split; the
+    only possible divergence is the reference's positional-index quirk in
+    the anchored coverage votes (parse_anchored_shiftxor.cpp:441-526),
+    which reads unrelated early list entries.  Splits away from N-runs
+    (dense contigs) fall back to raw offsets and rely on the halo."""
+    L = n_mask.shape[0]
+    splits = []
+    target = chunk_size
+    # N-runs >= min_gap
+    idx = np.flatnonzero(n_mask)
+    runs = []
+    if idx.size:
+        brk = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate(([idx[0]], idx[brk + 1]))
+        ends = np.concatenate((idx[brk] + 1, [idx[-1] + 1]))
+        runs = [(int(s), int(e)) for s, e in zip(starts, ends)
+                if e - s >= min_gap]
+    while target < L - chunk_size // 2:
+        # nearest qualifying N-run midpoint within +-chunk_size/2
+        best = None
+        for s, e in runs:
+            mid = (s + e) // 2
+            if abs(mid - target) <= chunk_size // 2:
+                if best is None or abs(mid - target) < abs(best - target):
+                    best = mid
+        if best is not None:
+            splits.append(best)
+        elif not strict:
+            splits.append(target)
+        # strict mode: no qualifying N-run -> no split here (stay exact)
+        splits_last = splits[-1] if splits else 0
+        nxt = max(target, splits_last) + chunk_size
+        if nxt <= target:
+            break
+        target = nxt
+    return splits
+
+
+def process_sequence_chunked(sequence_id: str, sequence: str,
+                             cfg: RibbitConfig,
+                             chunk_size: int = 8 << 20,
+                             halo: int = 1 << 16,
+                             workers: Optional[int] = None,
+                             strict: bool = False) -> List[str]:
+    """Chunked sequence-parallel processing of one long contig.
+
+    The contig splits into ~chunk_size pieces (at big-N-run midpoints when
+    possible, raw offsets otherwise) extended by `halo` on each side; chunks
+    run in parallel; a chunk owns the emitted lines whose repeat start falls
+    in its core interval.  Exact at N-run splits (see _choose_splits); a raw
+    split can differ from the whole-contig run within +-halo of the cut.
+    This chunk axis is also the distributed mesh axis (parallel/)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    L = len(sequence)
+    if L <= chunk_size + chunk_size // 2:
+        return process_sequence(sequence_id, sequence, cfg)
+
+    _code, n_mask = encode(sequence)
+    splits = _choose_splits(n_mask, chunk_size, strict=strict)
+    if not splits:
+        return process_sequence(sequence_id, sequence, cfg)
+    if strict:
+        # N-run-midpoint splits need no halo: no seed, window, qualified
+        # run, or anchor-eligible eq-run can span the midpoint of an N-run
+        # >= 512 (runs through it are >= 410 long, above the 2*max_shift
+        # anchor bound), so each chunk reproduces the whole-contig scan on
+        # its own interval exactly; extending into foreign context would
+        # instead perturb the order-dependent lattices
+        halo = 0
+    bounds = [0] + splits + [L]
+
+    tasks = []
+    for i in range(len(bounds) - 1):
+        core_lo, core_hi = bounds[i], bounds[i + 1]
+        lo = max(0, core_lo - halo)
+        hi = min(L, core_hi + halo)
+        tasks.append((lo, hi, core_lo, core_hi))
+
+    ncpu = os.cpu_count() or 1
+    if workers is None:
+        workers = min(ncpu, len(tasks))
+
+    def run_chunk(t):
+        lo, hi, core_lo, core_hi = t
+        sub = sequence[lo:hi]
+        lines = process_sequence(sequence_id, sub, cfg, nthreads=ncpu)
+        out = []
+        for line in lines:
+            cols = line.split("\t")
+            start = int(cols[1]) + lo
+            if core_lo <= start < core_hi:
+                cols[1] = str(start)
+                cols[2] = str(int(cols[2]) + lo)
+                out.append("\t".join(cols))
+        return out
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        results = list(ex.map(run_chunk, tasks))
+    lines: List[str] = []
+    for r in results:
+        lines.extend(r)
+    return lines
+
+
 def process_fasta(path: str, cfg: RibbitConfig,
                   scan_backend: str = "host", engine: str = "core",
-                  workers: Optional[int] = None) -> List[str]:
+                  workers: Optional[int] = None,
+                  chunk_size: Optional[int] = None) -> List[str]:
     """Process a whole FASTA: contigs are independent units in the reference
     (ribbit.cpp:269-280), so they fan out over a thread pool with
     byte-identical output (results concatenated in file order).  The native
@@ -198,8 +314,13 @@ def process_fasta(path: str, cfg: RibbitConfig,
             or len(records) <= 1:
         lines: List[str] = []
         for sid, seq in records:
-            process_sequence(sid, seq, cfg, out=lines,
-                             scan_backend=scan_backend, engine=engine)
+            if engine == "core" and scan_backend == "host" and chunk_size \
+                    and len(seq) > chunk_size + chunk_size // 2:
+                lines.extend(process_sequence_chunked(
+                    sid, seq, cfg, chunk_size=chunk_size, strict=True))
+            else:
+                process_sequence(sid, seq, cfg, out=lines,
+                                 scan_backend=scan_backend, engine=engine)
         return lines
 
     # deliberately oversubscribe: every contig's inner pools use all cores;
@@ -209,6 +330,12 @@ def process_fasta(path: str, cfg: RibbitConfig,
 
     def run_one(rec):
         sid, seq = rec
+        if chunk_size and len(seq) > chunk_size + chunk_size // 2:
+            # long contigs chunk at big-N-run midpoints only (strict ->
+            # byte-identical to the whole-contig run)
+            return process_sequence_chunked(sid, seq, cfg,
+                                            chunk_size=chunk_size,
+                                            strict=True)
         return process_sequence(sid, seq, cfg, scan_backend=scan_backend,
                                 engine=engine, nthreads=inner)
 

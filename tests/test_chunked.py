@@ -1,0 +1,53 @@
+"""Chunked long-contig processing (sequence parallelism over the chunk
+axis): strict mode splits only at big-N-run midpoints and must be
+byte-identical to the whole-contig run; loose mode splits anywhere with a
+halo and must agree away from the cuts."""
+
+import numpy as np
+import pytest
+
+from ribbit_tpu.config import RibbitConfig
+from ribbit_tpu.pipeline import (process_sequence, process_sequence_chunked,
+                                 _choose_splits)
+from ribbit_tpu.sim import simulate
+from ribbit_tpu.encode import encode
+
+
+@pytest.fixture(scope="module")
+def gapped_genome():
+    parts = []
+    for ci in range(4):
+        sim = simulate(num_loci=8, seed=400 + ci, name=f"p{ci}")
+        parts.append(sim.sequence)
+        parts.append("N" * 700)
+    return "".join(parts)
+
+
+def test_choose_splits_prefers_n_runs(gapped_genome):
+    _code, n_mask = encode(gapped_genome)
+    splits = _choose_splits(n_mask, chunk_size=40_000, strict=True)
+    assert splits, "expected at least one split"
+    for s in splits:
+        assert n_mask[s], "strict split must land inside an N-run"
+
+
+def test_chunked_strict_equals_whole(gapped_genome):
+    cfg = RibbitConfig.create()
+    whole = process_sequence("chr", gapped_genome, cfg)
+    chunked = process_sequence_chunked("chr", gapped_genome, cfg,
+                                       chunk_size=40_000, halo=16_384,
+                                       strict=True)
+    assert chunked == whole
+
+
+def test_chunked_loose_matches_away_from_cuts():
+    sim = simulate(num_loci=24, seed=77, name="dense")  # no N gaps
+    cfg = RibbitConfig.create()
+    whole = process_sequence("chr", sim.sequence, cfg)
+    chunked = process_sequence_chunked("chr", sim.sequence, cfg,
+                                       chunk_size=30_000, halo=16_384,
+                                       strict=False)
+    # loose cuts may perturb lines within +-halo of each cut; require the
+    # overwhelming majority to agree
+    inter = len(set(whole) & set(chunked))
+    assert inter >= 0.9 * max(len(whole), 1)
