@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=None,
                    help="parallel contigs (default: min(ncpu, ncontigs); "
                         "output stays byte-identical)")
+    p.add_argument("--resume", action="store_true",
+                   help="with -o: keep a per-contig completion manifest "
+                        "(<out>.manifest.json) and skip already-finished "
+                        "contigs on restart")
     p.add_argument("--chunk-size", type=int, default=None, metavar="BP",
                    help="split contigs longer than 1.5x this many bp at "
                         "big-N-run midpoints and process chunks in "
@@ -81,8 +85,23 @@ def main(argv=None) -> int:
         perfect_units=_maybe_int(args.perfect_units),
     )
 
+    # resume manifest must be consulted BEFORE the output file is opened
+    # (mode "w" would truncate the partial results being resumed)
+    import json
+    import os as _os
+    manifest = None
+    done: dict = {}
+    if args.resume and args.output_file:
+        manifest = args.output_file + ".manifest.json"
+        if _os.path.exists(manifest) and _os.path.exists(args.output_file):
+            with open(manifest) as fh:
+                done = json.load(fh).get("contigs", {})
+
     if args.output_file:
-        out = open(args.output_file, "w")
+        out = open(args.output_file, "a" if done else "w")
+        if done:
+            print(f"Resuming: {len(done)} contig(s) already done",
+                  file=sys.stderr)
     elif args.stderr_output:
         out = sys.stderr
     else:
@@ -93,12 +112,28 @@ def main(argv=None) -> int:
     print("Purity threshold: 0.85", file=sys.stderr)
 
     t0 = time.time()
-    from .pipeline import process_fasta
-    total = sum(len(seq) for _n, seq in read_fasta(args.input_file))
-    lines = process_fasta(args.input_file, cfg, scan_backend=args.backend,
-                          workers=args.workers, chunk_size=args.chunk_size)
-    for line in lines:
-        out.write(line + "\n")
+    from .pipeline import process_fasta_records
+
+    # per-contig completion manifest (the contig is the reference's implicit
+    # unit of restartability, ribbit.cpp:269-280; SURVEY.md §5)
+    total = 0
+    for name, nbp, lines in process_fasta_records(
+            args.input_file, cfg, scan_backend=args.backend,
+            workers=args.workers, chunk_size=args.chunk_size,
+            skip=set(done)):
+        total += nbp
+        if lines is None:
+            continue
+        print(f"Processing sequence {name}", file=sys.stderr)
+        for line in lines:
+            out.write(line + "\n")
+        out.flush()
+        if manifest:
+            done[name] = {"bp": nbp, "lines": len(lines)}
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"contigs": done}, fh)
+            _os.replace(tmp, manifest)
     elapsed = time.time() - t0
     print(f"Done: {total} bp in {elapsed:.2f}s "
           f"({total / max(elapsed, 1e-9) / 1e6:.3f} Mbp/s)", file=sys.stderr)

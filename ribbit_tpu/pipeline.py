@@ -292,56 +292,70 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
     return lines
 
 
-def process_fasta(path: str, cfg: RibbitConfig,
-                  scan_backend: str = "host", engine: str = "core",
-                  workers: Optional[int] = None,
-                  chunk_size: Optional[int] = None) -> List[str]:
-    """Process a whole FASTA: contigs are independent units in the reference
-    (ribbit.cpp:269-280), so they fan out over a thread pool with
-    byte-identical output (results concatenated in file order).  The native
-    core releases the GIL, so Python threads scale; inner C pools shrink as
-    outer parallelism grows."""
+def process_fasta_records(path: str, cfg: RibbitConfig,
+                          scan_backend: str = "host", engine: str = "core",
+                          workers: Optional[int] = None,
+                          chunk_size: Optional[int] = None,
+                          skip=None):
+    """Stream (name, length, lines) per FASTA record, in file order.
+
+    Contigs are independent units in the reference (ribbit.cpp:269-280), so
+    they fan out over a thread pool with byte-identical output.  The native
+    core releases the GIL, so Python threads scale.  `skip` is an optional
+    set of contig names to pass over (resume support) — skipped records
+    yield (name, length, None)."""
     import os
     from concurrent.futures import ThreadPoolExecutor
     from .fasta import read_fasta
 
     records = list(read_fasta(path))
     ncpu = os.cpu_count() or 1
+    todo = [(i, sid, seq) for i, (sid, seq) in enumerate(records)
+            if not (skip and sid in skip)]
     if workers is None:
-        workers = min(ncpu, len(records)) or 1
+        workers = min(ncpu, len(todo)) or 1
 
-    if engine != "core" or scan_backend == "tpu" or workers <= 1 \
-            or len(records) <= 1:
-        lines: List[str] = []
-        for sid, seq in records:
-            if engine == "core" and scan_backend == "host" and chunk_size \
-                    and len(seq) > chunk_size + chunk_size // 2:
-                lines.extend(process_sequence_chunked(
-                    sid, seq, cfg, chunk_size=chunk_size, strict=True))
-            else:
-                process_sequence(sid, seq, cfg, out=lines,
-                                 scan_backend=scan_backend, engine=engine)
-        return lines
-
-    # deliberately oversubscribe: every contig's inner pools use all cores;
-    # contig sizes are highly imbalanced, and work-conserving scheduling
-    # beats static core partitioning (measured 0.33s -> 0.19s on 4 cores)
-    inner = ncpu
+    serial = (engine != "core" or scan_backend == "tpu" or workers <= 1
+              or len(todo) <= 1)
 
     def run_one(rec):
-        sid, seq = rec
-        if chunk_size and len(seq) > chunk_size + chunk_size // 2:
+        _i, sid, seq = rec
+        if engine == "core" and scan_backend == "host" and chunk_size \
+                and len(seq) > chunk_size + chunk_size // 2:
             # long contigs chunk at big-N-run midpoints only (strict ->
             # byte-identical to the whole-contig run)
             return process_sequence_chunked(sid, seq, cfg,
                                             chunk_size=chunk_size,
                                             strict=True)
+        # deliberately oversubscribe: contig sizes are highly imbalanced
+        # and work-conserving scheduling beats static core partitioning
         return process_sequence(sid, seq, cfg, scan_backend=scan_backend,
-                                engine=engine, nthreads=inner)
+                                engine=engine,
+                                nthreads=0 if serial else ncpu)
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        results = list(ex.map(run_one, records))
-    lines = []
-    for r in results:
-        lines.extend(r)
+    if serial:
+        todo_ids = {t[0] for t in todo}
+        for i, (sid, seq) in enumerate(records):
+            yield sid, len(seq), (run_one((i, sid, seq))
+                                  if i in todo_ids else None)
+    else:
+        # yield incrementally in file order so callers can checkpoint each
+        # contig as it completes
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {t[0]: ex.submit(run_one, t) for t in todo}
+            for i, (sid, seq) in enumerate(records):
+                f = futs.get(i)
+                yield sid, len(seq), (f.result() if f is not None else None)
+
+
+def process_fasta(path: str, cfg: RibbitConfig,
+                  scan_backend: str = "host", engine: str = "core",
+                  workers: Optional[int] = None,
+                  chunk_size: Optional[int] = None) -> List[str]:
+    """Whole-FASTA convenience wrapper: flat BED line list in file order."""
+    lines: List[str] = []
+    for _sid, _n, r in process_fasta_records(path, cfg, scan_backend, engine,
+                                             workers, chunk_size):
+        if r:
+            lines.extend(r)
     return lines
