@@ -178,3 +178,46 @@ def simulate(num_loci: int = 50, seed: int = 0, min_motif: int = 2,
     parts.append((_BUFFER_SEQ * (bufsize // len(_BUFFER_SEQ) + 1))[:bufsize])
 
     return Simulation(name=name, sequence="".join(parts), loci=loci)
+
+
+def _main(argv=None) -> int:
+    """CLI mirroring data_simulation/simulate_data.py's flags
+    (simulate_data.py:55-73); writes sim_<prefix>.fa + ground-truth
+    sim_<prefix>.bed."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Tandem Repeat Simulator")
+    p.add_argument("-l", "--num-locations", type=int, default=1000)
+    p.add_argument("-o", "--out-prefix", type=str, default="")
+    p.add_argument("--min-purity", type=float, default=0.85)
+    p.add_argument("--max-purity", type=float, default=0.95)
+    p.add_argument("--motif-purity", type=float, default=0.75)
+    p.add_argument("-m", "--min-motif-size", type=int, default=2)
+    p.add_argument("-M", "--max-motif-size", type=int, default=100)
+    p.add_argument("--seed", type=int, default=None,
+                   help="RNG seed (ours; the reference is unseeded)")
+    args = p.parse_args(argv)
+
+    if not args.out_prefix:
+        rng = random.Random(args.seed)
+        args.out_prefix = ("%06x" % rng.randint(0, 0xFFFFFFFFFF)).upper()
+    print(f"File prefix: {args.out_prefix}")
+
+    sim = simulate(num_loci=args.num_locations,
+                   seed=args.seed if args.seed is not None
+                   else random.randrange(1 << 30),
+                   min_motif=args.min_motif_size,
+                   max_motif=args.max_motif_size,
+                   min_purity=args.min_purity,
+                   max_purity=args.max_purity,
+                   motif_purity=args.motif_purity,
+                   name=f"{args.out_prefix}_1")
+    sim.to_fasta(f"sim_{args.out_prefix}.fa")
+    sim.to_bed(f"sim_{args.out_prefix}.bed")
+    print(f"wrote sim_{args.out_prefix}.fa ({len(sim.sequence)} bp, "
+          f"{len(sim.loci)} loci) + sim_{args.out_prefix}.bed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

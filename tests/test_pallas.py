@@ -1,0 +1,41 @@
+"""Pallas scan kernel vs the host reference (interpret mode on the CPU
+mesh; the same kernel compiles for TPU via Mosaic)."""
+
+import numpy as np
+
+from ribbit_tpu.config import RibbitConfig
+
+
+def test_pallas_scan_matches_host(cpu_jax):
+    from ribbit_tpu import scan_host
+    from ribbit_tpu.scan_pallas import scan_arrays_pallas
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.sim import simulate
+
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=2, seed=66, name="pl", n_block_rate=0.4)
+    code, n_mask = encode(sim.sequence)
+    L = code.shape[0]
+
+    eq_p, sum8_p = scan_arrays_pallas(code, cfg, interpret=True)
+    eq_h = scan_host.match_bitmaps(code, cfg)
+    assert np.array_equal(eq_p, eq_h)
+
+    cs = np.cumsum(eq_h.astype(np.int32), axis=1)
+    nw = L - 8 + 1
+    win = cs[:, 7:].copy()
+    win[:, 1:] -= cs[:, :nw - 1]
+    assert np.array_equal(sum8_p[:, :nw], win)
+
+
+def test_pallas_scan_small_motif_range(cpu_jax):
+    from ribbit_tpu import scan_host
+    from ribbit_tpu.scan_pallas import scan_arrays_pallas
+    from ribbit_tpu.encode import encode
+
+    rng = np.random.default_rng(4)
+    cfg = RibbitConfig.create(min_motif=5, max_motif=30)
+    code = rng.integers(0, 4, 700).astype(np.int8)
+    eq_p, _ = scan_arrays_pallas(code, cfg, interpret=True)
+    eq_h = scan_host.match_bitmaps(code, cfg)
+    assert np.array_equal(eq_p, eq_h)
