@@ -5,10 +5,11 @@ and every position, the match bit eq[s, p] = (code[p] == code[p+s]) and the
 8-window popcount sum8[s, p] = sum_{k<8} eq[s, p+k] (fasta_utils.cpp:120-122
 + the windowed scans).  This kernel evaluates it tiled for the TPU:
 
-  - grid = sequence tiles of TILE lanes; each program writes a full
-    (128, TILE) block of the [128, L] outputs — all shift channels ride the
-    sublanes (statically unrolled; shifts are compile-time constants), the
-    positions ride the lanes
+  - grid = sequence tiles of TILE lanes; each program writes an
+    (SROWS, TILE) block — SROWS shift channels ride the sublanes
+    (statically unrolled; shifts are compile-time constants), positions
+    ride the lanes; the full channel set runs as ceil(NSHIFTS/SROWS)
+    pallas_calls (larger unrolls abort the Mosaic backend)
   - the padded code vector stays whole in VMEM (int32, 4 B/base; sequences
     are chunk-bounded well under VMEM limits by the chunked pipeline); each
     program performs ONE lane-aligned pl.ds load of its haloed window
@@ -35,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .config import RibbitConfig, WINDOW_LENGTH
 
 TILE = 512          # positions per program (lane multiples of 128)
-SROWS = 128         # output rows (shift channels padded to the tile height)
+SROWS = 32          # shift channels per pallas_call (Mosaic compiles ~32
+                    # statically unrolled rows comfortably; 128 aborts)
 HALO = 128          # >= max_shift + WINDOW_LENGTH, lane-aligned
 
 
@@ -123,13 +125,22 @@ def scan_pallas(code_padded: jax.Array, L, *, min_shift: int, nshifts: int,
 def scan_arrays_pallas(code: np.ndarray, cfg: RibbitConfig,
                        interpret: bool = False):
     """Host wrapper: (eq bool[NSHIFTS, L], sum8 int32[NSHIFTS, L]) matching
-    scan_host.match_bitmaps and its 8-window popcounts."""
+    scan_host.match_bitmaps and its 8-window popcounts.  Shift channels are
+    processed in SROWS-sized groups, one pallas_call each (static unroll)."""
     L = code.shape[0]
     Lp = ((L + TILE - 1) // TILE) * TILE
     code_p = np.zeros(Lp, dtype=np.int32)
     code_p[:L] = code
-    eq, sum8 = scan_pallas(jnp.asarray(code_p), jnp.int32(L),
-                           min_shift=cfg.min_shift, nshifts=cfg.nshifts,
-                           interpret=interpret)
-    return (np.asarray(eq)[:cfg.nshifts, :L].astype(bool),
-            np.asarray(sum8)[:cfg.nshifts, :L])
+    cj = jnp.asarray(code_p)
+    eqs, sums = [], []
+    s = cfg.min_shift
+    remaining = cfg.nshifts
+    while remaining > 0:
+        n = min(SROWS, remaining)
+        eq, sum8 = scan_pallas(cj, jnp.int32(L), min_shift=s, nshifts=n,
+                               interpret=interpret)
+        eqs.append(np.asarray(eq)[:n, :L])
+        sums.append(np.asarray(sum8)[:n, :L])
+        s += n
+        remaining -= n
+    return (np.concatenate(eqs).astype(bool), np.concatenate(sums))
