@@ -101,12 +101,44 @@ static int emis_cmp(const void *pa, const void *pb) {
     return a->seq < b->seq ? -1 : (a->seq > b->seq ? 1 : 0);
 }
 
-/* k-way merge of per-channel event vectors into global (pos, didx, sub)
- * order.  Per-channel vectors are chronological, which is already
- * (pos, sub)-sorted in practice; a per-channel stable qsort runs only if a
- * monotonicity violation is detected.  Equivalent to the global stable
- * sort events.py does (within-channel ties keep generation order). */
-static void merge_channel_events(EVec *per, i32 nch, EVec *out) {
+/* Streaming k-way merge of per-channel event vectors in global
+ * (pos, didx, sub) order.  Per-channel vectors are chronological, which is
+ * already (pos, sub)-sorted in practice; a per-channel stable qsort runs
+ * only if a monotonicity violation is detected.  Equivalent to the global
+ * stable sort events.py does (within-channel ties keep generation order),
+ * but events stream straight into the lattices — the merged copy of the
+ * (potentially multi-GB) event array is never materialized. */
+typedef struct {
+    EVec *per;
+    i32 nch;
+    i64 *head;
+    i32 *heap;
+    i32 hn;
+} EvMerge;
+
+#define EVM_LT(m, d1, d2) ( \
+    (m)->per[d1].d[(m)->head[d1]].pos != (m)->per[d2].d[(m)->head[d2]].pos \
+        ? (m)->per[d1].d[(m)->head[d1]].pos < (m)->per[d2].d[(m)->head[d2]].pos \
+        : (d1) < (d2))
+
+static void evm_sift_down(EvMerge *m) {
+    i32 i = 0;
+    for (;;) {
+        i32 l = 2 * i + 1, r = 2 * i + 2, sm = i;
+        if (l < m->hn && EVM_LT(m, m->heap[l], m->heap[sm])) sm = l;
+        if (r < m->hn && EVM_LT(m, m->heap[r], m->heap[sm])) sm = r;
+        if (sm == i) break;
+        i32 tmp = m->heap[i]; m->heap[i] = m->heap[sm]; m->heap[sm] = tmp;
+        i = sm;
+    }
+}
+
+static void evm_init(EvMerge *m, EVec *per, i32 nch) {
+    m->per = per;
+    m->nch = nch;
+    m->head = (i64 *)calloc((size_t)nch, sizeof(i64));
+    m->heap = (i32 *)malloc((size_t)nch * sizeof(i32));
+    m->hn = 0;
     for (i32 d = 0; d < nch; d++) {
         EVec *v = &per[d];
         int sorted = 1;
@@ -121,54 +153,44 @@ static void merge_channel_events(EVec *per, i32 nch, EVec *out) {
         if (!sorted)
             qsort(v->d, (size_t)v->n, sizeof(Emis), emis_cmp);
     }
-    i64 total = 0;
-    for (i32 d = 0; d < nch; d++) total += per[d].n;
-    if (out->cap < total) {
-        out->cap = total;
-        out->d = (Emis *)realloc(out->d, (size_t)total * sizeof(Emis));
-    }
-    out->n = 0;
-
-    /* binary heap of channel heads keyed (pos, sub, didx-as-tiebreak) */
-    i32 *heap = (i32 *)malloc((size_t)nch * sizeof(i32));
-    i64 *head = (i64 *)calloc((size_t)nch, sizeof(i64));
-    i32 hn = 0;
-
-#define EMIS_LT(d1, d2) (     per[d1].d[head[d1]].pos != per[d2].d[head[d2]].pos         ? per[d1].d[head[d1]].pos < per[d2].d[head[d2]].pos         : ((d1) != (d2) ? (d1) < (d2)            : per[d1].d[head[d1]].sub < per[d2].d[head[d2]].sub))
-
     for (i32 d = 0; d < nch; d++) {
         if (per[d].n == 0) continue;
-        i32 i = hn++;
-        heap[i] = d;
+        i32 i = m->hn++;
+        m->heap[i] = d;
         while (i > 0) {
             i32 parent = (i - 1) >> 1;
-            if (EMIS_LT(heap[i], heap[parent])) {
-                i32 tmp = heap[i]; heap[i] = heap[parent]; heap[parent] = tmp;
+            if (EVM_LT(m, m->heap[i], m->heap[parent])) {
+                i32 tmp = m->heap[i];
+                m->heap[i] = m->heap[parent];
+                m->heap[parent] = tmp;
                 i = parent;
             } else break;
         }
     }
-    while (hn > 0) {
-        i32 d = heap[0];
-        out->d[out->n++] = per[d].d[head[d]];
-        head[d]++;
-        if (head[d] >= per[d].n) {
-            heap[0] = heap[--hn];
-        }
-        /* sift down */
-        i32 i = 0;
-        for (;;) {
-            i32 l = 2 * i + 1, r = 2 * i + 2, sm = i;
-            if (l < hn && EMIS_LT(heap[l], heap[sm])) sm = l;
-            if (r < hn && EMIS_LT(heap[r], heap[sm])) sm = r;
-            if (sm == i) break;
-            i32 tmp = heap[i]; heap[i] = heap[sm]; heap[sm] = tmp;
-            i = sm;
-        }
-    }
-#undef EMIS_LT
-    free(heap);
-    free(head);
+}
+
+/* pop the global-minimum event; returns 0 when drained */
+static int evm_next(EvMerge *m, Emis *out) {
+    if (m->hn == 0) return 0;
+    i32 d = m->heap[0];
+    *out = m->per[d].d[m->head[d]];
+    m->head[d]++;
+    if (m->head[d] >= m->per[d].n) m->heap[0] = m->heap[--m->hn];
+    evm_sift_down(m);
+    return 1;
+}
+
+/* peek the next event without consuming (for the EOF from_index quirk) */
+static int evm_peek(EvMerge *m, Emis *out) {
+    if (m->hn == 0) return 0;
+    i32 d = m->heap[0];
+    *out = m->per[d].d[m->head[d]];
+    return 1;
+}
+
+static void evm_free(EvMerge *m) {
+    free(m->head);
+    free(m->heap);
 }
 
 /* ------------------------------------------------------------------ */
@@ -606,7 +628,9 @@ static void generate_events(RibbitCore *c) {
     /* packed overlay cache: ~nmotifs * L/8 bytes; skipped for very long
      * sequences (queries then recompute per range) */
     const char *cache_env = getenv("RIBBIT_OVERLAY_CACHE_MAX");
-    i64 cache_max = cache_env ? atoll(cache_env) : (i64)64 << 20;
+    /* ~12.4 bytes/base (nmotifs * L/8): a 250 Mb chromosome costs ~3.1 GB,
+     * cheap against the O(events) query savings on any genome-scale host */
+    i64 cache_max = cache_env ? atoll(cache_env) : (i64)256 << 20;
     if (L <= cache_max) {
         c->ov_words = (L + 63) >> 6;
         c->ov_pack = (uint64_t **)calloc((size_t)nm, sizeof(uint64_t *));
@@ -1830,25 +1854,24 @@ static void run_substitution_scan(RibbitCore *c) {
         windowed_emissions(c, &c->q7_s[didx], &c->q7_e[didx], m, didx,
                            &per[didx]);
     }
-    EVec events;
-    ev_init(&events);
-    merge_channel_events(per, c->nmotifs, &events);
-    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
-    free(per);
-
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
         cutoffs[d] = m > 30 ? m / 3 : 10;
     }
+    EvMerge mg;
+    evm_init(&mg, per, c->nmotifs);
+    Emis ev;
     i64 from_index = 0;
-    for (i64 k = 0; k < events.n; k++) {
-        i64 m = c->min_motif + events.d[k].didx;
-        from_index = add_seed_substitution(c, events.d[k].s, events.d[k].e, m,
-                                           cutoffs, from_index, RANK_S);
+    while (evm_next(&mg, &ev)) {
+        i64 m = c->min_motif + ev.didx;
+        from_index = add_seed_substitution(c, ev.s, ev.e, m, cutoffs,
+                                           from_index, RANK_S);
     }
+    evm_free(&mg);
     free(cutoffs);
-    ev_free(&events);
+    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
+    free(per);
 }
 
 static void run_anchored_scan(RibbitCore *c) {
@@ -1858,12 +1881,6 @@ static void run_anchored_scan(RibbitCore *c) {
         windowed_emissions(c, &c->q6_s[didx], &c->q6_e[didx], m, didx,
                            &per[didx]);
     }
-    EVec events;
-    ev_init(&events);
-    merge_channel_events(per, c->nmotifs, &events);
-    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
-    free(per);
-
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
@@ -1871,26 +1888,29 @@ static void run_anchored_scan(RibbitCore *c) {
         if (m >= 10) cut = (i64)(0.9 * (double)m);
         cutoffs[d] = cut;
     }
+    EvMerge mg;
+    evm_init(&mg, per, c->nmotifs);
+    Emis ev, nxt;
     FromIdx from = {0, 0};
-    for (i64 k = 0; k < events.n; k++) {
-        i64 m = c->min_motif + events.d[k].didx;
-        if (events.d[k].pos < c->L) {
-            from = add_seed_anchored(c, events.d[k].s, events.d[k].e, m,
-                                     cutoffs, from, RANK_A);
+    while (evm_next(&mg, &ev)) {
+        i64 m = c->min_motif + ev.didx;
+        if (ev.pos < c->L) {
+            from = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from, RANK_A);
         } else {
             /* QUIRK: in the end-of-sequence flush only the "save both
              * separately" first call updates from_indices
              * (parse_anchored_shiftxor.cpp:713 vs 688/697/706/717) */
-            FromIdx nf = add_seed_anchored(c, events.d[k].s, events.d[k].e, m,
-                                           cutoffs, from, RANK_A);
-            if (events.d[k].sub == 0 && k + 1 < events.n &&
-                events.d[k + 1].didx == events.d[k].didx &&
-                events.d[k + 1].sub == 1)
+            FromIdx nf = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from,
+                                           RANK_A);
+            if (ev.sub == 0 && evm_peek(&mg, &nxt) &&
+                nxt.didx == ev.didx && nxt.sub == 1)
                 from = nf;
         }
     }
+    evm_free(&mg);
     free(cutoffs);
-    ev_free(&events);
+    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
+    free(per);
 }
 
 /* final 3-pointer merge by seed start (pipeline.py / fasta_utils.cpp:181-242);
