@@ -47,20 +47,36 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
     *end_ref = -1;
 
     /* h0 workspace + previous-H shifted view; the per-column work is split
-     * into vectorizable passes with only the F prefix-max scan sequential */
+     * into vectorizable passes with only the F prefix-max scan sequential.
+     * Score rows per possible ref base (the SSW query profile, ssw.c:163)
+     * are precomputed once so pass 1 is pure vector arithmetic. */
     int32_t *h0 = (int32_t *)malloc((size_t)R * sizeof(int32_t));
     int32_t *F = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+    int32_t *srows = (int32_t *)malloc((size_t)R * 5 * sizeof(int32_t));
+    for (int32_t c = 0; c < 5; c++) {
+        int32_t *restrict sr = srows + (size_t)c * R;
+        for (int32_t j = 0; j < R; j++)
+            sr[j] = ((c == read[j]) & (c < 4)) ? 2 : -2;
+    }
 
     for (int32_t i = 0; i < C; i++) {
-        int8_t rc = ref[i];
+        const int32_t *restrict srow = srows + (size_t)ref[i] * R;
         /* pass 1 (vector): h0[j] = max(diag, E[j], 0) with
          * diag = H_prev[j-1] + score, clamped at WORD_MAX */
-        for (int32_t j = 0; j < R; j++) {
-            int32_t diag = (j ? H[j - 1] : 0)
-                + (((rc == read[j]) & (rc < 4)) ? 2 : -2);
-            if (diag > WORD_MAX) diag = WORD_MAX;
-            int32_t v = diag > E[j] ? diag : E[j];
-            h0[j] = v > 0 ? v : 0;
+        {
+            int32_t *restrict h0r = h0;
+            const int32_t *restrict Er = E;
+            const int32_t *restrict Hr = H;
+            int32_t d0 = srow[0];
+            if (d0 > WORD_MAX) d0 = WORD_MAX;
+            int32_t v0 = d0 > Er[0] ? d0 : Er[0];
+            h0r[0] = v0 > 0 ? v0 : 0;
+            for (int32_t j = 1; j < R; j++) {
+                int32_t diag = Hr[j - 1] + srow[j];
+                if (diag > WORD_MAX) diag = WORD_MAX;
+                int32_t v = diag > Er[j] ? diag : Er[j];
+                h0r[j] = v > 0 ? v : 0;
+            }
         }
         /* pass 2: F from the running prefix max of A[k] = h0[k] + k*GAP_E
          * over k < j.  AVX-512 path: blockwise prefix-max (log-step lane
@@ -152,6 +168,7 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
     }
     free(h0);
     free(F);
+    free(srows);
     return best;
 }
 
