@@ -473,11 +473,11 @@ static void *gen_worker(void *arg) {
     size_t BUF = (size_t)(L + GEN_PAD);
 
     uint8_t *ebuf[5], *abuf[5];
-    i64 atag[5], etag[5];
+    i64 atag[5];
     for (int i = 0; i < 5; i++) {
         ebuf[i] = (uint8_t *)calloc(BUF, 1);
         abuf[i] = (uint8_t *)calloc(BUF, 1);
-        atag[i] = etag[i] = -1;
+        atag[i] = -1;
     }
     uint8_t *obuf = (uint8_t *)calloc(BUF, 1);
     uint8_t *pm = (uint8_t *)calloc(BUF, 1);
@@ -495,7 +495,6 @@ static void *gen_worker(void *arg) {
     for (i64 shift = shift_lo; shift <= (i64)t->m_hi + 2; shift++) {
         int slot = (int)(shift % 5);
         eq_fill(c, shift, 0, L, ebuf[slot]);
-        etag[slot] = shift;
 
         /* anchors: candidate 3-runs expanded with closure + length rules
          * (parse_anchored_shiftxor.cpp:20-56) */
@@ -600,7 +599,6 @@ static void *gen_worker(void *arg) {
 
     for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
     free(obuf); free(pm); free(t2); free(t4); free(t8); free(qb);
-    (void)etag;
     return NULL;
 }
 

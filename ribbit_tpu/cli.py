@@ -77,6 +77,12 @@ def _maybe_int(v):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os.path as _os_check
+    if not _os_check.exists(args.input_file):
+        print(f"ribbit-tpu: error: input file not found: {args.input_file}",
+              file=sys.stderr)
+        return 2
+
     cfg = RibbitConfig.create(
         min_motif=args.min_motif_length,
         max_motif=args.max_motif_length,
