@@ -39,3 +39,28 @@ def test_pallas_scan_small_motif_range(cpu_jax):
     eq_p, _ = scan_arrays_pallas(code, cfg, interpret=True)
     eq_h = scan_host.match_bitmaps(code, cfg)
     assert np.array_equal(eq_p, eq_h)
+
+
+def test_pallas_full_generation_bed_parity(cpu_jax, golden_dir):
+    """The complete Pallas generation (anchors, overlay, qualified windows,
+    perfect flags) must drive the native core to oracle-identical BED."""
+    from ribbit_tpu.fasta import read_fasta
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.core import CoreSession
+    from ribbit_tpu.scan_pallas_full import scan_events_via_pallas
+    from ribbit_tpu.config import RibbitConfig
+
+    cfg = RibbitConfig.create()
+    lines = []
+    for sid, seq in read_fasta(str(golden_dir / "g3.fa")):
+        code, n_mask = encode(seq)
+        sess = CoreSession(code, n_mask, cfg)
+        try:
+            sess.set_events(*scan_events_via_pallas(code, n_mask, cfg,
+                                                    interpret=True))
+            seeds = sess.scan()
+            lines += sess.refine(seeds, seq, sid)
+        finally:
+            sess.close()
+    expected = (golden_dir / "g3.oracle.bed").read_text().splitlines()
+    assert lines == expected
