@@ -8,8 +8,10 @@ on host, and mesh-sharded chunk parallelism for whole-genome scale.
 """
 
 from .config import RibbitConfig
-from .pipeline import process_sequence
+from .pipeline import (process_sequence, process_fasta, process_fasta_records,
+                       process_sequence_chunked)
 
 __version__ = "0.1.0"
 
-__all__ = ["RibbitConfig", "process_sequence", "__version__"]
+__all__ = ["RibbitConfig", "process_sequence", "process_fasta",
+           "process_fasta_records", "process_sequence_chunked", "__version__"]
