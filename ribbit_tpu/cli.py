@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=None,
                    help="parallel contigs (default: min(ncpu, ncontigs); "
                         "output stays byte-identical)")
+    p.add_argument("--timing", action="store_true",
+                   help="per-phase stage timing to stderr (scan generation, "
+                        "scanner phases, merge, refinement; implies "
+                        "--workers 1 for readable interleaving)")
     p.add_argument("--resume", action="store_true",
                    help="with -o: keep a per-contig completion manifest "
                         "(<out>.manifest.json) and skip already-finished "
@@ -116,6 +120,12 @@ def main(argv=None) -> int:
     print(f"Minimum motif:\t{cfg.min_motif}", file=sys.stderr)
     print(f"Maximum motif:\t{cfg.max_motif}", file=sys.stderr)
     print("Purity threshold: 0.85", file=sys.stderr)
+
+    if args.timing:
+        import os as _os_t
+        _os_t.environ["RIBBIT_CORE_TIMING"] = "1"
+        if args.workers is None:
+            args.workers = 1
 
     t0 = time.time()
     from .pipeline import process_fasta_records
