@@ -112,23 +112,19 @@ typedef struct {
     EVec *per;
     i32 nch;
     i64 *head;
-    i32 *heap;
+    uint64_t *heap;             /* (pos << 8) | channel: one compare per sift */
     i32 hn;
 } EvMerge;
 
-#define EVM_LT(m, d1, d2) ( \
-    (m)->per[d1].d[(m)->head[d1]].pos != (m)->per[d2].d[(m)->head[d2]].pos \
-        ? (m)->per[d1].d[(m)->head[d1]].pos < (m)->per[d2].d[(m)->head[d2]].pos \
-        : (d1) < (d2))
-
 static void evm_sift_down(EvMerge *m) {
     i32 i = 0;
+    uint64_t *h = m->heap;
     for (;;) {
         i32 l = 2 * i + 1, r = 2 * i + 2, sm = i;
-        if (l < m->hn && EVM_LT(m, m->heap[l], m->heap[sm])) sm = l;
-        if (r < m->hn && EVM_LT(m, m->heap[r], m->heap[sm])) sm = r;
+        if (l < m->hn && h[l] < h[sm]) sm = l;
+        if (r < m->hn && h[r] < h[sm]) sm = r;
         if (sm == i) break;
-        i32 tmp = m->heap[i]; m->heap[i] = m->heap[sm]; m->heap[sm] = tmp;
+        uint64_t tmp = h[i]; h[i] = h[sm]; h[sm] = tmp;
         i = sm;
     }
 }
@@ -137,7 +133,7 @@ static void evm_init(EvMerge *m, EVec *per, i32 nch) {
     m->per = per;
     m->nch = nch;
     m->head = (i64 *)calloc((size_t)nch, sizeof(i64));
-    m->heap = (i32 *)malloc((size_t)nch * sizeof(i32));
+    m->heap = (uint64_t *)malloc((size_t)nch * sizeof(uint64_t));
     m->hn = 0;
     for (i32 d = 0; d < nch; d++) {
         EVec *v = &per[d];
@@ -155,12 +151,13 @@ static void evm_init(EvMerge *m, EVec *per, i32 nch) {
     }
     for (i32 d = 0; d < nch; d++) {
         if (per[d].n == 0) continue;
+        uint64_t key = ((uint64_t)per[d].d[0].pos << 8) | (uint64_t)d;
         i32 i = m->hn++;
-        m->heap[i] = d;
+        m->heap[i] = key;
         while (i > 0) {
             i32 parent = (i - 1) >> 1;
-            if (EVM_LT(m, m->heap[i], m->heap[parent])) {
-                i32 tmp = m->heap[i];
+            if (m->heap[i] < m->heap[parent]) {
+                uint64_t tmp = m->heap[i];
                 m->heap[i] = m->heap[parent];
                 m->heap[parent] = tmp;
                 i = parent;
@@ -172,10 +169,15 @@ static void evm_init(EvMerge *m, EVec *per, i32 nch) {
 /* pop the global-minimum event; returns 0 when drained */
 static int evm_next(EvMerge *m, Emis *out) {
     if (m->hn == 0) return 0;
-    i32 d = m->heap[0];
+    i32 d = (i32)(m->heap[0] & 0xFF);
     *out = m->per[d].d[m->head[d]];
     m->head[d]++;
-    if (m->head[d] >= m->per[d].n) m->heap[0] = m->heap[--m->hn];
+    if (m->head[d] >= m->per[d].n) {
+        m->heap[0] = m->heap[--m->hn];
+    } else {
+        m->heap[0] = ((uint64_t)m->per[d].d[m->head[d]].pos << 8)
+                     | (uint64_t)d;
+    }
     evm_sift_down(m);
     return 1;
 }
@@ -183,7 +185,7 @@ static int evm_next(EvMerge *m, Emis *out) {
 /* peek the next event without consuming (for the EOF from_index quirk) */
 static int evm_peek(EvMerge *m, Emis *out) {
     if (m->hn == 0) return 0;
-    i32 d = m->heap[0];
+    i32 d = (i32)(m->heap[0] & 0xFF);
     *out = m->per[d].d[m->head[d]];
     return 1;
 }

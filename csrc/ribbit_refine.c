@@ -27,6 +27,7 @@
 #include <string.h>
 #include <stdio.h>
 #include <math.h>
+#include <malloc.h>
 
 typedef int64_t i64;
 typedef int32_t i32;
@@ -1022,6 +1023,18 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
                         i64 tbl_size, const char *seq_id,
                         const i64 *seeds, i64 nseeds, i32 req_threads,
                         i64 *out_len) {
+    /* per-seed workspaces (alignment H/E rows, pseudo-perfect repeats,
+     * direction tapes) frequently exceed glibc's default 128 KB mmap
+     * threshold; with a thread pool that means an mmap/munmap pair + TLB
+     * shootdown per seed — observed as sys time exceeding user time on
+     * repeat-dense genomes.  Keep large blocks on the reusable heap. */
+    static int malloc_tuned = 0;
+    if (!malloc_tuned) {
+        mallopt(M_MMAP_THRESHOLD, 64 << 20);
+        mallopt(M_TRIM_THRESHOLD, 64 << 20);
+        malloc_tuned = 1;
+    }
+
     RefinePool pool;
     pool.proto.core = core;
     pool.proto.code = code;
