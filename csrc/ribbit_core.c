@@ -1847,13 +1847,53 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
     free(seg_b);
 }
 
+
+/* fill per-channel emission vectors in parallel (each channel's windowed
+ * state machine is independent; only the merged consumption is serial) */
+typedef struct {
+    RibbitCore *c;
+    EVec *per;
+    IVec *qs, *qe;
+    i64 next;
+} EmisGenPool;
+
+static void *emis_gen_worker(void *arg) {
+    EmisGenPool *p = (EmisGenPool *)arg;
+    for (;;) {
+        i64 d = __atomic_fetch_add(&p->next, 1, __ATOMIC_RELAXED);
+        if (d >= p->c->nmotifs) break;
+        i64 m = p->c->min_motif + d;
+        windowed_emissions(p->c, &p->qs[d], &p->qe[d], m, (i32)d, &p->per[d]);
+    }
+    return NULL;
+}
+
+static void gen_emissions_parallel(RibbitCore *c, IVec *qs, IVec *qe,
+                                   EVec *per) {
+    i64 nthreads = c->nthreads;
+    if (nthreads <= 0) {
+        const char *env = getenv("RIBBIT_THREADS");
+        if (env) nthreads = atoll(env);
+        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    }
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > c->nmotifs) nthreads = c->nmotifs;
+    EmisGenPool pool = {c, per, qs, qe, 0};
+    if (nthreads == 1) {
+        emis_gen_worker(&pool);
+        return;
+    }
+    pthread_t tids[64];
+    if (nthreads > 64) nthreads = 64;
+    for (i64 t = 0; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, emis_gen_worker, &pool);
+    for (i64 t = 0; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+}
+
 static void run_substitution_scan(RibbitCore *c) {
     EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    for (i32 didx = 0; didx < c->nmotifs; didx++) {
-        i64 m = c->min_motif + didx;
-        windowed_emissions(c, &c->q7_s[didx], &c->q7_e[didx], m, didx,
-                           &per[didx]);
-    }
+    gen_emissions_parallel(c, c->q7_s, c->q7_e, per);
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
@@ -1876,11 +1916,7 @@ static void run_substitution_scan(RibbitCore *c) {
 
 static void run_anchored_scan(RibbitCore *c) {
     EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    for (i32 didx = 0; didx < c->nmotifs; didx++) {
-        i64 m = c->min_motif + didx;
-        windowed_emissions(c, &c->q6_s[didx], &c->q6_e[didx], m, didx,
-                           &per[didx]);
-    }
+    gen_emissions_parallel(c, c->q6_s, c->q6_e, per);
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
