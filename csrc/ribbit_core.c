@@ -30,6 +30,7 @@
 #include <time.h>
 #include <pthread.h>
 #include <unistd.h>
+#include <malloc.h>
 
 typedef int64_t i64;
 typedef int32_t i32;
@@ -1863,7 +1864,11 @@ static void *emis_gen_worker(void *arg) {
         i64 d = __atomic_fetch_add(&p->next, 1, __ATOMIC_RELAXED);
         if (d >= p->c->nmotifs) break;
         i64 m = p->c->min_motif + d;
-        windowed_emissions(p->c, &p->qs[d], &p->qe[d], m, (i32)d, &p->per[d]);
+        /* emissions <= qualified runs + EOF flushes: reserve once */
+        EVec *v = &p->per[d];
+        v->cap = p->qs[d].n + 4;
+        v->d = (Emis *)malloc((size_t)v->cap * sizeof(Emis));
+        windowed_emissions(p->c, &p->qs[d], &p->qe[d], m, (i32)d, v);
     }
     return NULL;
 }
@@ -2048,6 +2053,14 @@ void ribbit_core_set_events(RibbitCore *c,
 }
 
 i64 ribbit_core_scan(RibbitCore *c) {
+    /* large event vectors and packed caches churn mmap/munmap under the
+     * default glibc thresholds (see the matching note in ribbit_refine.c) */
+    static int malloc_tuned = 0;
+    if (!malloc_tuned) {
+        mallopt(M_MMAP_THRESHOLD, 64 << 20);
+        mallopt(M_TRIM_THRESHOLD, 64 << 20);
+        malloc_tuned = 1;
+    }
     const char *timing = getenv("RIBBIT_CORE_TIMING");
     struct timespec t0, t1;
 #define TICK(label) do { if (timing) { \
