@@ -81,8 +81,11 @@ static void iv_push(IVec *v, i64 x) {
     v->d[v->n++] = x;
 }
 
-/* emissions from the scanner state machines */
-typedef struct { i64 pos; i32 didx; i32 sub; i64 s, e; i64 seq; } Emis;
+/* emissions from the scanner state machines.  24-byte layout: positions
+ * are i32 (per-contig limit 2^31 bp — an order of magnitude above the
+ * longest real chromosome); seq is the per-channel stability tiebreak for
+ * the qsort fallback. */
+typedef struct { i64 pos; i32 s, e; i32 seq; int16_t didx; int8_t sub; } Emis;
 typedef struct { Emis *d; i64 n, cap; } EVec;
 static void ev_init(EVec *v) { v->d = NULL; v->n = 0; v->cap = 0; }
 static void ev_free(EVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
@@ -91,7 +94,7 @@ static void ev_push(EVec *v, Emis e) {
         v->cap = v->cap ? v->cap * 2 : 256;
         v->d = (Emis *)realloc(v->d, (size_t)v->cap * sizeof(Emis));
     }
-    e.seq = v->n;
+    e.seq = (i32)v->n;
     v->d[v->n++] = e;
 }
 static int emis_cmp(const void *pa, const void *pb) {
@@ -1701,17 +1704,17 @@ static void run_perfect_scan(RibbitCore *c) {
             if (e >= L) {
                 /* final flush uses window_position L-1 */
                 if ((L - 1) - s >= cutoff) {
-                    Emis em = {L, didx, 0, s, L - 1, 0};
+                    Emis em = {.pos = L, .s = (i32)(s), .e = (i32)(L - 1), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                     ev_push(&events, em);
                 }
             } else if (c->nmask[e]) {
                 if (e - s >= cutoff_n) {
-                    Emis em = {e, didx, 0, s, e, 0};
+                    Emis em = {.pos = e, .s = (i32)(s), .e = (i32)(e), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                     ev_push(&events, em);
                 }
             } else {
                 if (e - s >= cutoff) {
-                    Emis em = {e, didx, 0, s, e, 0};
+                    Emis em = {.pos = e, .s = (i32)(s), .e = (i32)(e), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                     ev_push(&events, em);
                 }
             }
@@ -1769,13 +1772,13 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
             i64 wf;
             FIRST_EVAL_AFTER(le, wf);
             if (wf < ws) {
-                Emis em = {wf + W - 1, didx, 0, ls, le, 0};
+                Emis em = {.pos = wf + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                 ev_push(out, em);
                 ls = le = -1;
             }
         }
         if (le != -1 && le < ws) {
-            Emis em = {ws + W - 1, didx, 0, ls, le, 0};
+            Emis em = {.pos = ws + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
             ev_push(out, em);
             ls = le = -1;
         }
@@ -1800,7 +1803,7 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
             i64 sB = seg_b[si];
             if (sB < L) {
                 if (le != -1 && le < sB - (W - 1)) {
-                    Emis em = {sB, didx, 0, ls, le, 0};
+                    Emis em = {.pos = sB, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                     ev_push(out, em);
                     ls = le = -1;
                 }
@@ -1814,7 +1817,7 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
         i64 wf;
         FIRST_EVAL_AFTER(le, wf);
         if (wf < SENTINEL) {
-            Emis em = {wf + W - 1, didx, 0, ls, le, 0};
+            Emis em = {.pos = wf + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
             ev_push(out, em);
             ls = le = -1;
         }
@@ -1823,21 +1826,21 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
     /* end-of-sequence flush (parse_substitute_shiftxor.cpp:534-574) */
     if (le == -1) {
         if (cur != -1) {
-            Emis em = {L, didx, 0, cur, L, 0};
+            Emis em = {.pos = L, .s = (i32)(cur), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 0};
             ev_push(out, em);
         }
     } else {
         if (cur == -1) {
-            Emis em = {L, didx, 0, ls, le, 0};
+            Emis em = {.pos = L, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
             ev_push(out, em);
         } else {
             if (le >= cur - m) {
-                Emis em = {L, didx, 0, ls, L, 0};
+                Emis em = {.pos = L, .s = (i32)(ls), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                 ev_push(out, em);
             } else {
-                Emis em1 = {L, didx, 0, ls, le, 0};
+                Emis em1 = {.pos = L, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
                 ev_push(out, em1);
-                Emis em2 = {L, didx, 1, cur, L, 0};
+                Emis em2 = {.pos = L, .s = (i32)(cur), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 1};
                 ev_push(out, em2);
             }
         }

@@ -172,7 +172,10 @@ def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
                           nthreads=nthreads)
             return lines
         except RuntimeError:
-            pass  # native core unavailable: fall back to python engine
+            # native core unavailable (no compiler / build failure): the
+            # Python engine is ~50-100x slower, so never fall back silently
+            print("ribbit-tpu: WARNING: native core unavailable, falling "
+                  "back to the (much slower) Python engine", file=sys.stderr)
     _process_python(sequence_id, sequence, cfg, emit, scan_backend)
     return lines
 
