@@ -2055,6 +2055,14 @@ void ribbit_core_set_events(RibbitCore *c,
     c->events_ready = 1;
 }
 
+/* failedSeeds (fasta_utils.cpp:44-56): RANK_N entries in a list */
+static i64 failed_seeds(const SeedList *l) {
+    i64 n = 0;
+    for (i64 i = 0; i < l->n; i++)
+        if (l->d[i].rank == RANK_N) n++;
+    return n;
+}
+
 i64 ribbit_core_scan(RibbitCore *c) {
     /* large event vectors and packed caches churn mmap/munmap under the
      * default glibc thresholds (see the matching note in ribbit_refine.c) */
@@ -2076,13 +2084,30 @@ i64 ribbit_core_scan(RibbitCore *c) {
     TICK("generate");
     c->overlay_phase = 0;
     run_perfect_scan(c);
+    if (timing)
+        fprintf(stderr, "[core] perfect seeds: %lld\n",
+                (long long)c->perfect.n);
     TICK("perfect");
     run_substitution_scan(c);
+    if (timing)
+        fprintf(stderr, "[core] seeds considering substitutions: %lld\n",
+                (long long)(c->perfect.n + c->substut.n
+                            - failed_seeds(&c->perfect)
+                            - failed_seeds(&c->substut)));
     TICK("substitution");
     c->overlay_phase = 1;
     run_anchored_scan(c);
+    if (timing)
+        fprintf(stderr, "[core] seeds considering indels: %lld\n",
+                (long long)(c->perfect.n + c->substut.n + c->anchored.n
+                            - failed_seeds(&c->perfect)
+                            - failed_seeds(&c->substut)
+                            - failed_seeds(&c->anchored)));
     TICK("anchored");
     final_merge(c);
+    if (timing)
+        fprintf(stderr, "[core] seeds processed for alignment: %lld\n",
+                (long long)c->final_seeds.n);
     TICK("merge");
 #undef TICK
     return c->final_seeds.n;
