@@ -6,7 +6,7 @@ CFLAGS ?= -O3 -march=native -shared -fPIC -pthread
 SRCS = csrc/ribbit_core.c csrc/ribbit_refine.c csrc/ribbit_align.c \
        csrc/ribbit_vote.c
 
-.PHONY: all native oracle test bench clean
+.PHONY: all native asan oracle test bench clean
 
 all: native
 
@@ -15,6 +15,19 @@ native: build/ribbit_native.so
 build/ribbit_native.so: $(SRCS)
 	mkdir -p build
 	$(CC) $(CFLAGS) $(SRCS) -o $@ -lm
+
+# AddressSanitizer build installed under the loader's cache name; run any
+# workload with LD_PRELOAD=$$(cc -print-file-name=libasan.so).  The core is
+# ASAN-clean on all parity fixtures (remaining leak reports are CPython
+# interpreter-lifetime objects).
+asan:
+	mkdir -p build
+	$(CC) -O1 -g -fsanitize=address -march=native -shared -fPIC -pthread \
+	    $(SRCS) -o build/ribbit_asan.so -lm
+	python -c "import hashlib,pathlib,shutil; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
+	    shutil.copy('build/ribbit_asan.so', f'build/ribbit_core_{h}.so')"
 
 oracle:
 	bash tools/oracle/build.sh
