@@ -6,7 +6,7 @@ CFLAGS ?= -O3 -march=native -shared -fPIC -pthread
 SRCS = csrc/ribbit_core.c csrc/ribbit_refine.c csrc/ribbit_align.c \
        csrc/ribbit_vote.c
 
-.PHONY: all native asan oracle test bench clean
+.PHONY: all native asan tsan oracle test bench clean
 
 all: native
 
@@ -28,6 +28,17 @@ asan:
 	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
 	    shutil.copy('build/ribbit_asan.so', f'build/ribbit_core_{h}.so')"
+
+# ThreadSanitizer build (same install scheme; LD_PRELOAD libtsan.so).
+# The threaded generation/refinement pools are TSAN-clean on all fixtures.
+tsan:
+	mkdir -p build
+	$(CC) -O1 -g -fsanitize=thread -march=native -shared -fPIC -pthread \
+	    $(SRCS) -o build/ribbit_tsan.so -lm
+	python -c "import hashlib,pathlib,shutil; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
+	    shutil.copy('build/ribbit_tsan.so', f'build/ribbit_core_{h}.so')"
 
 oracle:
 	bash tools/oracle/build.sh
