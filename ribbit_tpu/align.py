@@ -48,7 +48,7 @@ _TRANSLATE[ord("u")] = 0
 
 
 def translate(seq: str) -> np.ndarray:
-    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
     return _TRANSLATE[raw & 0x7F]
 
 

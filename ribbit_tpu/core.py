@@ -129,7 +129,7 @@ class CoreSession:
                sequence_id: str) -> list[str]:
         """Native refinement of the merged seed stream -> BED lines."""
         from .align import _TRANSLATE
-        raw = np.frombuffer(sequence.encode("ascii"), dtype=np.uint8)
+        raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
         translated = np.ascontiguousarray(_TRANSLATE[raw & 0x7F])
         cfg = self.cfg
         tbl = cfg.max_motif + 1
@@ -151,10 +151,10 @@ class CoreSession:
             translated.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             self.code.shape[0], cfg.min_motif, cfg.max_motif, cfg.min_shift,
             min_len.ctypes.data_as(P64), perf_units.ctypes.data_as(P64),
-            tbl, sequence_id.encode("ascii"),
+            tbl, sequence_id.encode("latin-1", errors="replace"),
             seeds.ctypes.data_as(P64), seeds.shape[0], self.nthreads,
             ctypes.byref(out_len))
-        text = ctypes.string_at(buf, out_len.value).decode("ascii")
+        text = ctypes.string_at(buf, out_len.value).decode("latin-1")
         self.lib.ribbit_buffer_free(buf)
         return text.splitlines()
 

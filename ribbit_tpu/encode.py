@@ -27,7 +27,9 @@ def encode(sequence: str) -> tuple[np.ndarray, np.ndarray]:
       code   int8[L]  2-bit base code, 0 for N (mirrors the zero bit-planes)
       n_mask bool[L]  True where the base is not ACGT (fasta_utils.cpp:111-113)
     """
-    raw = np.frombuffer(sequence.encode("ascii"), dtype=np.uint8)
+    # latin-1 keeps arbitrary bytes 1:1; anything not ACGT maps to N,
+    # matching the reference switch default (fasta_utils.cpp:111-113)
+    raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
     return _CODE_LUT[raw], _N_LUT[raw]
 
 

@@ -16,7 +16,8 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
     """Yields (name, sequence) per record, in file order."""
     name = None
     parts: list[str] = []
-    with open(path) as fh:
+    # latin-1 preserves arbitrary bytes 1:1 (downstream treats non-ACGT as N)
+    with open(path, encoding="latin-1") as fh:
         for line in fh:
             line = line.rstrip("\n")
             if line.startswith(">"):
