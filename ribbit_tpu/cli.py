@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="ribbit-tpu",
         description="TPU-native tandem repeat detection "
                     "(ribbit-compatible output)")
+    from . import __version__
+    p.add_argument("--version", action="version",
+                   version=f"ribbit-tpu {__version__}")
     p.add_argument("-i", "--input-file", required=True,
                    help="input FASTA file")
     p.add_argument("-o", "--output-file", default=None,

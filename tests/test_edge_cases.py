@@ -40,6 +40,16 @@ def test_edge_parity(tmp_path, name):
     assert _ours(fa, tmp_path / "ours.bed") == orc.read_text()
 
 
+def test_binary_bytes_treated_as_n(tmp_path):
+    """Arbitrary bytes must behave like N (the reference's switch default),
+    not crash the reader."""
+    fa = tmp_path / "bin.fa"
+    fa.write_text(">a\n\x00\x01\x7f\xffACGTACACACACACACACACAC\n",
+                  encoding="latin-1")
+    out = _ours(fa, tmp_path / "ours.bed")
+    assert out == "a\t8\t25\tAC\t2 | 2\t17\t8\t1\t+\tSEED-1\t17=\n"
+
+
 def test_n_flanked_contig_where_reference_segfaults(tmp_path):
     fa = tmp_path / "ne.fa"
     fa.write_text(">a\nNNNNNACACACACACACACACACACNNNNN\n")
