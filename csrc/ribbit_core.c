@@ -427,12 +427,16 @@ static i64 core_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
 
 #define GEN_PAD 16
 
-/* s8[p] = popcount of b[p..p+7]; buffers padded with zeros past L */
+/* s8[p] = popcount of b[p..p+7]; buffers padded with zeros past L.
+ * One fused pass: the 8-term add vectorizes and touches 2 arrays instead
+ * of the 6 a log-shift ladder streams (memory-bound at genome scale). */
 static void win8_sums(const uint8_t *restrict b, uint8_t *restrict s2,
                       uint8_t *restrict s4, uint8_t *restrict s8, i64 L) {
-    for (i64 p = 0; p < L + 8; p++) s2[p] = b[p] + b[p + 1];
-    for (i64 p = 0; p < L + 8; p++) s4[p] = s2[p] + s2[p + 2];
-    for (i64 p = 0; p < L; p++) s8[p] = s4[p] + s4[p + 4];
+    (void)s2;
+    (void)s4;
+    for (i64 p = 0; p < L; p++)
+        s8[p] = (uint8_t)(b[p] + b[p + 1] + b[p + 2] + b[p + 3]
+                          + b[p + 4] + b[p + 5] + b[p + 6] + b[p + 7]);
 }
 
 /* runs of q[0..n)==1 with zero-chunk skipping (qualified bytes are rare) */
