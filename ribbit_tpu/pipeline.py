@@ -74,8 +74,15 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
     try:
         if scan_backend == "tpu":
             from .scan_events_tpu import scan_events
-            perf, q7, q6 = scan_events(code, n_mask, cfg)
-            sess.set_events(perf, q7, q6)
+            try:
+                perf, q7, q6 = scan_events(code, n_mask, cfg)
+                sess.set_events(perf, q7, q6)
+            except OverflowError:
+                # device event capacity exceeded (extremely repeat-dense
+                # input): fall back to native host generation
+                print("ribbit-tpu: device event capacity exceeded for "
+                      f"{sequence_id}; using host generation",
+                      file=sys.stderr)
         seeds = sess.scan()
 
         if os.environ.get("RIBBIT_PY_REFINE"):
