@@ -111,6 +111,20 @@ def main(argv=None) -> int:
                 done = json.load(fh).get("contigs", {})
 
     if args.output_file:
+        if done:
+            # a crash can land between the output flush and the manifest
+            # update; truncate back to the recorded state so the resumed
+            # run never duplicates a partially-recorded contig
+            recorded = sum(v["lines"] for v in done.values())
+            with open(args.output_file) as fh:
+                kept = fh.readlines()[:recorded]
+            if len(kept) < recorded:
+                print("ribbit-tpu: output shorter than manifest; "
+                      "restarting from scratch", file=sys.stderr)
+                done = {}
+                kept = []
+            with open(args.output_file, "w") as fh:
+                fh.writelines(kept)
         out = open(args.output_file, "a" if done else "w")
         if done:
             print(f"Resuming: {len(done)} contig(s) already done",

@@ -52,3 +52,25 @@ def test_resume_skips_completed_and_reproduces(multi_fa, tmp_path):
     stderr = _run(multi_fa, out, "--resume")
     assert "Resuming: 1 contig(s)" in stderr
     assert out.read_text() == expected
+
+
+def test_resume_truncates_unrecorded_partial_lines(multi_fa, tmp_path):
+    """A crash between the output flush and the manifest update leaves
+    unrecorded lines; resume must truncate them, never duplicate."""
+    full = tmp_path / "full.bed"
+    _run(multi_fa, full)
+    expected = full.read_text()
+
+    out = tmp_path / "r.bed"
+    _run(multi_fa, out, "--resume")
+    manifest_path = tmp_path / "r.bed.manifest.json"
+    man = json.loads(manifest_path.read_text())
+    keep = list(man["contigs"])[:1]
+    lines_keep = sum(man["contigs"][n]["lines"] for n in keep)
+    partial = expected.splitlines(keepends=True)[:lines_keep + 3]
+    out.write_text("".join(partial))
+    manifest_path.write_text(
+        json.dumps({"contigs": {n: man["contigs"][n] for n in keep}}))
+
+    _run(multi_fa, out, "--resume")
+    assert out.read_text() == expected
