@@ -14,8 +14,8 @@ work over a [NSHIFTS, L] lattice — XLA fuses the compare+mask chains and the
 flow.  Sequences are padded to LANE-multiple buckets so compilations are
 cached per bucket, with the true length threaded as a traced scalar (padding
 behaves as N).  Run/interval compaction for the host-side scanners lives in
-runs.py; this module's full-bitmap outputs also back the single-chip bench
-path and the parity tests against scan_host.
+scan_events_tpu.py; this module's full-bitmap outputs back the parity tests
+against scan_host and the python-engine tpu backend.
 """
 
 from __future__ import annotations
