@@ -85,7 +85,15 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
                       file=sys.stderr)
         seeds = sess.scan()
 
-        if os.environ.get("RIBBIT_PY_REFINE"):
+        if os.environ.get("RIBBIT_BATCHED_REFINE"):
+            # experimental: batched alignment scoring through the Pallas
+            # kernel (align_pallas), traceback on host; exact output
+            from .refine_batched import refine_batched
+            interp = os.environ.get("RIBBIT_BATCHED_REFINE") == "interpret"
+            for line in refine_batched(seeds, sequence, sequence_id, code,
+                                       n_mask, sess, cfg, interpret=interp):
+                emit(line)
+        elif os.environ.get("RIBBIT_PY_REFINE"):
             # python refinement over the native seed stream (debug/cross-check)
             def longest_run_for_channel(midx: int):
                 return lambda a, b: sess.overlay_longest_run(midx, a, b)
