@@ -73,7 +73,7 @@ static void sb_append(StrBuf *b, const char *s, i64 len) {
 
 /* canonical repeat class: lexicographically smallest 2-bit cyclic rotation
  * (m <= 16 so u64 is enough) */
-static uint64_t repeat_class(uint64_t motif, i32 m) {
+static uint64_t repeat_class_compute(uint64_t motif, i32 m) {
     uint64_t mask = (m >= 32) ? ~0ULL : ((1ULL << (2 * m)) - 1);
     uint64_t best = motif, cycle;
     for (i32 i = 0; i < m - 1; i++) {
@@ -81,6 +81,29 @@ static uint64_t repeat_class(uint64_t motif, i32 m) {
         if (cycle < best) best = cycle;
     }
     return best;
+}
+
+/* memoized for the small-motif hot path (m <= 10), like the reference's
+ * REPEAT_CLASSES tables (ribbit.cpp:248-267) but built lazily: ~5.6 MB
+ * total, thread-safe one-time init */
+#include <pthread.h>
+static uint32_t *rc_tables[11];
+static pthread_once_t rc_once = PTHREAD_ONCE_INIT;
+
+static void rc_build_tables(void) {
+    for (i32 m = 2; m <= 10; m++) {
+        uint64_t n = 1ULL << (2 * m);
+        uint32_t *t = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
+        for (uint64_t w = 0; w < n; w++)
+            t[w] = (uint32_t)repeat_class_compute(w, m);
+        rc_tables[m] = t;
+    }
+}
+
+static inline uint64_t repeat_class(uint64_t motif, i32 m) {
+    if (m >= 2 && m <= 10 && rc_tables[m])
+        return rc_tables[m][motif];
+    return repeat_class_compute(motif, m);
 }
 
 /* atomicity on an integer motif (m <= 16): smallest f dividing m with
@@ -1034,6 +1057,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         mallopt(M_TRIM_THRESHOLD, 64 << 20);
         malloc_tuned = 1;
     }
+    pthread_once(&rc_once, rc_build_tables);
 
     RefinePool pool;
     pool.proto.core = core;
