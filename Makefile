@@ -6,7 +6,7 @@ CFLAGS ?= -O3 -march=native -shared -fPIC -pthread
 SRCS = csrc/ribbit_core.c csrc/ribbit_refine.c csrc/ribbit_align.c \
        csrc/ribbit_vote.c
 
-.PHONY: all native asan tsan oracle test bench clean
+.PHONY: all native asan tsan ubsan oracle test bench clean
 
 all: native
 
@@ -39,6 +39,17 @@ tsan:
 	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
 	    shutil.copy('build/ribbit_tsan.so', f'build/ribbit_core_{h}.so')"
+
+# UndefinedBehaviorSanitizer build (same install scheme; LD_PRELOAD
+# libubsan.so).  Clean (-fno-sanitize-recover) on all fixtures + 1Mb.
+ubsan:
+	mkdir -p build
+	$(CC) -O1 -g -fsanitize=undefined -fno-sanitize-recover=undefined \
+	    -march=native -shared -fPIC -pthread $(SRCS) -o build/ribbit_ubsan.so -lm
+	python -c "import hashlib,pathlib,shutil; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
+	    shutil.copy('build/ribbit_ubsan.so', f'build/ribbit_core_{h}.so')"
 
 oracle:
 	bash tools/oracle/build.sh
