@@ -44,24 +44,24 @@ def _compile(src) -> pathlib.Path | None:
 
 
 def get_align_lib():
-    """Loads (compiling if needed) the native aligner; None if unavailable."""
+    """Native aligner entry from the combined library; None if unavailable."""
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     if os.environ.get("RIBBIT_NO_NATIVE"):
         return None
-    so = _compile(_CSRC / "ribbit_align.c")
-    if so is None:
+    from .core import get_core_lib
+    base = get_core_lib()
+    if base is None:
         return None
-    lib = ctypes.CDLL(str(so))
-    lib.ribbit_align.restype = ctypes.c_int
-    lib.ribbit_align.argtypes = [
+    base.ribbit_align.restype = ctypes.c_int
+    base.ribbit_align.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int32,
     ]
-    _lib = lib
+    _lib = base
     return _lib
 
 
@@ -70,21 +70,21 @@ _vote_tried = False
 
 
 def get_vote_lib():
-    """Loads the native diagonal-voting kernel; None if unavailable."""
+    """Native diagonal-voting entry from the combined library."""
     global _vote_lib, _vote_tried
     if _vote_tried:
         return _vote_lib
     _vote_tried = True
     if os.environ.get("RIBBIT_NO_NATIVE"):
         return None
-    so = _compile(_CSRC / "ribbit_vote.c")
-    if so is None:
+    from .core import get_core_lib
+    base = get_core_lib()
+    if base is None:
         return None
-    lib = ctypes.CDLL(str(so))
-    lib.ribbit_vote_longer.restype = ctypes.c_int32
-    lib.ribbit_vote_longer.argtypes = [
+    base.ribbit_vote_longer.restype = ctypes.c_int32
+    base.ribbit_vote_longer.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
-    _vote_lib = lib
+    _vote_lib = base
     return _vote_lib
