@@ -35,11 +35,136 @@ static inline int64_t max64(int64_t a, int64_t b) { return a > b ? a : b; }
  * H/E are int32[R] workspaces; best_col receives the H column of the best
  * ref position.  terminate >= 0: stop after the first column whose max
  * equals terminate.  Returns best score; *end_ref gets the column index. */
+#ifdef __AVX512BW__
+/* 16-bit forward pass: 32 lanes on passes 1/3; the F prefix-max runs in
+ * i32 over widened h0 (A = h0 + j exceeds i16).  Saturating i16 adds ARE
+ * the WORD_MAX clamp (H <= 32767, |score| = 2).  Scratch reuses the
+ * caller's i32 buffers reinterpreted as i16 (double the capacity);
+ * best_col widens in place at the end. */
+static int32_t forward_pass_i16(const int8_t *read, int32_t R,
+                                const int8_t *ref, int32_t C,
+                                int32_t terminate,
+                                int32_t *H32, int32_t *E32,
+                                int32_t *best_col32, int32_t *end_ref) {
+    int16_t *H = (int16_t *)H32;
+    int16_t *E = (int16_t *)E32;
+    int16_t *bc = (int16_t *)best_col32;
+    memset(H, 0, (size_t)R * sizeof(int16_t));
+    memset(E, 0, (size_t)R * sizeof(int16_t));
+    memset(bc, 0, (size_t)R * sizeof(int16_t));
+    int32_t best = 0;
+    *end_ref = -1;
+
+    int32_t Rp = (R + 31) & ~31;             /* padded lane count */
+    int16_t *h0 = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
+    int16_t *F = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
+    int32_t *A = (int32_t *)malloc((size_t)Rp * sizeof(int32_t));
+    int32_t *P = (int32_t *)malloc((size_t)Rp * sizeof(int32_t));
+    int16_t *srows = (int16_t *)malloc((size_t)R * 5 * sizeof(int16_t));
+    for (int32_t c = 0; c < 5; c++) {
+        int16_t *restrict sr = srows + (size_t)c * R;
+        for (int32_t j = 0; j < R; j++)
+            sr[j] = ((c == read[j]) & (c < 4)) ? 2 : -2;
+    }
+
+    for (int32_t i = 0; i < C; i++) {
+        const int16_t *restrict srow = srows + (size_t)ref[i] * R;
+        /* pass 1: h0 = max(sat(H[j-1] + sc), E, 0) */
+        {
+            int16_t d0 = srow[0];
+            int16_t v0 = d0 > E[0] ? d0 : E[0];
+            h0[0] = v0 > 0 ? v0 : 0;
+            for (int32_t j = 1; j < R; j++) {
+                int32_t diag = (int32_t)H[j - 1] + srow[j];
+                if (diag > WORD_MAX) diag = WORD_MAX;
+                int16_t v = (int16_t)diag > E[j] ? (int16_t)diag : E[j];
+                h0[j] = v > 0 ? v : 0;
+            }
+        }
+        /* pass 2: F from the i32 prefix max of A[k] = h0[k] + k*GAP_E —
+         * AVX-512 blockwise prefix with widened h0 loads */
+        {
+            const int32_t NEGI = -(1 << 30);
+            __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                             10, 11, 12, 13, 14, 15);
+            __m512i zero_blk = _mm512_set1_epi32(NEGI);
+            __m512i carry = _mm512_set1_epi32(NEGI);
+            __m512i gapvec = _mm512_set1_epi32(GAP_O + GAP_E);
+            int32_t j = 0;
+            for (; j + 16 <= R; j += 16) {
+                __m512i hw = _mm512_cvtepi16_epi32(
+                    _mm256_loadu_si256((const __m256i *)(h0 + j)));
+                __m512i je = _mm512_mullo_epi32(
+                    _mm512_add_epi32(iota, _mm512_set1_epi32(j)),
+                    _mm512_set1_epi32(GAP_E));
+                __m512i a = _mm512_add_epi32(hw, je);
+                __m512i p = a;
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 15));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 14));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 12));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, zero_blk, 8));
+                p = _mm512_max_epi32(p, carry);
+                __m512i pshift = _mm512_alignr_epi32(p, zero_blk, 15);
+                pshift = _mm512_mask_mov_epi32(pshift, 1, carry);
+                __m512i f = _mm512_sub_epi32(
+                    _mm512_sub_epi32(pshift, gapvec),
+                    _mm512_sub_epi32(je, _mm512_set1_epi32(2 * GAP_E)));
+                f = _mm512_max_epi32(f, _mm512_setzero_si512());
+                /* narrow (values <= 32767) to i16 */
+                _mm256_storeu_si256((__m256i *)(F + j),
+                                    _mm512_cvtepi32_epi16(f));
+                carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), p);
+            }
+            int64_t Pmax = _mm512_cvtsi512_si32(carry);
+            if (j == 0) Pmax = INT64_MIN;
+            for (; j < R; j++) {
+                if (j) {
+                    int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
+                    F[j] = (int16_t)(f > 0 ? f : 0);
+                }
+                int64_t a = (int64_t)h0[j] + (int64_t)j * GAP_E;
+                if (a > Pmax) Pmax = a;
+            }
+            F[0] = 0;
+            (void)A;
+            (void)P;
+        }
+        /* pass 3: Hn, E update, column max */
+        int32_t colmax = 0;
+        for (int32_t j = 0; j < R; j++) {
+            int16_t Hn = h0[j] > F[j] ? h0[j] : F[j];
+            int16_t e1 = (int16_t)(E[j] - GAP_E);
+            int16_t e2 = (int16_t)(Hn - GAP_O);
+            int16_t e = e1 > e2 ? e1 : e2;
+            E[j] = e > 0 ? e : 0;
+            H[j] = Hn;
+            if (Hn > colmax) colmax = Hn;
+        }
+        if (colmax > best) {
+            best = colmax;
+            *end_ref = i;
+            memcpy(bc, H, (size_t)R * sizeof(int16_t));
+        }
+        if (terminate >= 0 && colmax == terminate) break;
+    }
+    free(h0); free(F); free(A); free(P); free(srows);
+    /* widen best_col in place (descending: i32 writes land above the
+     * remaining i16 reads) */
+    for (int32_t j = R - 1; j >= 0; j--)
+        best_col32[j] = bc[j];
+    return best;
+}
+#endif  /* __AVX512BW__ */
+
 static int32_t forward_pass(const int8_t *read, int32_t R,
                             const int8_t *ref, int32_t C,
                             int32_t terminate,
                             int32_t *H, int32_t *E, int32_t *best_col,
                             int32_t *end_ref) {
+#ifdef __AVX512BW__
+    return forward_pass_i16(read, R, ref, C, terminate, H, E, best_col,
+                            end_ref);
+#endif
     memset(H, 0, (size_t)R * sizeof(int32_t));
     memset(E, 0, (size_t)R * sizeof(int32_t));
     memset(best_col, 0, (size_t)R * sizeof(int32_t));
