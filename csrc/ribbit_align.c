@@ -58,8 +58,6 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
     int32_t Rp = (R + 31) & ~31;             /* padded lane count */
     int16_t *h0 = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
     int16_t *F = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
-    int32_t *A = (int32_t *)malloc((size_t)Rp * sizeof(int32_t));
-    int32_t *P = (int32_t *)malloc((size_t)Rp * sizeof(int32_t));
     int16_t *srows = (int16_t *)malloc((size_t)R * 5 * sizeof(int16_t));
     for (int32_t c = 0; c < 5; c++) {
         int16_t *restrict sr = srows + (size_t)c * R;
@@ -126,8 +124,6 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
                 if (a > Pmax) Pmax = a;
             }
             F[0] = 0;
-            (void)A;
-            (void)P;
         }
         /* pass 3: Hn, E update, column max */
         int32_t colmax = 0;
@@ -147,7 +143,7 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
         }
         if (terminate >= 0 && colmax == terminate) break;
     }
-    free(h0); free(F); free(A); free(P); free(srows);
+    free(h0); free(F); free(srows);
     /* widen best_col in place (descending: i32 writes land above the
      * remaining i16 reads) */
     for (int32_t j = R - 1; j >= 0; j--)
