@@ -48,13 +48,27 @@ def _parse_dualtype(value: Union[int, str, Dict[int, int]],
     if isinstance(value, int):
         return {m: value for m in range(min_motif, max_motif + 1)}
     out: Dict[int, int] = {}
-    with open(value) as fh:
+    try:
+        fh = open(value)
+    except OSError as e:
+        # Deliberate divergence: the reference checks fail() BEFORE open()
+        # (ribbit.cpp:48-53), so an unopenable file is silently treated as
+        # empty and every cutoff becomes 0.  A hard error is safer.
+        raise SystemExit(f"ERROR: cannot open {value!r} for a per-motif "
+                         f"threshold file: {e.strerror}")
+    with fh:
         for line in fh:
             line = line.rstrip("\n")
             if not line:
                 continue
-            key, val = line.split("\t")[:2]
-            out[int(key)] = int(val)
+            pos = line.find("\t")
+            if pos == -1:
+                # reference quirk (ribbit.cpp:55-58): with no tab, npos+1
+                # wraps to 0, so both substr calls yield the whole line and
+                # the key doubles as the value.
+                out[int(line)] = int(line)
+            else:
+                out[int(line[:pos])] = int(line[pos + 1:])
     return out
 
 
@@ -106,13 +120,22 @@ class RibbitConfig:
             cfg.perfect_units = pu
 
         # --- factor-motif propagation (ribbit.cpp:219-235) ---
+        # The reference reads the source threshold with unordered_map
+        # operator[], which default-inserts 0 for a motif size absent from a
+        # sparse TSV file; the inserted key then suppresses later propagation
+        # to that size.  _read_ins mirrors that exactly.
+        def _read_ins(d: Dict[int, int], k: int) -> int:
+            if k not in d:
+                d[k] = 0
+            return d[k]
+
         for m in range(min_motif, max_motif + 1):
             factors = [f for f in range(1, m // 2 + 1) if m % f == 0]
             for f in factors:
                 if f not in cfg.minimum_length:
-                    cfg.minimum_length[f] = cfg.minimum_length[m]
+                    cfg.minimum_length[f] = _read_ins(cfg.minimum_length, m)
                 if f not in cfg.perfect_units:
-                    cfg.perfect_units[f] = cfg.perfect_units[m] * (m // f)
+                    cfg.perfect_units[f] = _read_ins(cfg.perfect_units, m) * (m // f)
 
         # --- shift range (ribbit.cpp:240-243) ---
         cfg.nmotifs = max_motif - min_motif + 1

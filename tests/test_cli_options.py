@@ -39,3 +39,18 @@ def test_tsv_minlength_parity(golden_dir, tmp_path):
     tsv = tmp_path / "minlen.tsv"
     tsv.write_text("".join(f"{m}\t{max(12, m * 3)}\n" for m in range(2, 101)))
     _run_pair(golden_dir / "g1.fa", tmp_path, ["-l", str(tsv)])
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+def test_sparse_tsv_parity(golden_dir, tmp_path):
+    """Sparse per-motif TSVs: sizes absent from the file take the reference's
+    unordered_map operator[] default-insert-0 semantics during factor
+    propagation (ribbit.cpp:219-235) and read as 0 at runtime.  Regression
+    test: this used to KeyError in RibbitConfig.create."""
+    units = tmp_path / "units.tsv"
+    units.write_text("2\t3\n3\t2\n4\t2\n5\t4\n7\n")  # "7": no-tab quirk, key doubles as value
+    punits = tmp_path / "punits.tsv"
+    punits.write_text("2\t4\n6\t1\n")
+    _run_pair(golden_dir / "g1.fa", tmp_path,
+              ["--min-units", str(units), "--perfect-units", str(punits)])
+    _run_pair(golden_dir / "g1.fa", tmp_path, ["-l", str(units)])
