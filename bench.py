@@ -6,7 +6,7 @@ timed on the same input in the same process environment; vs_baseline is the
 throughput ratio (ours / reference).  Prints ONE JSON line.
 
 Env knobs:
-  RIBBIT_BENCH_LOCI     locus count for the simulated genome (default 60)
+  RIBBIT_BENCH_LOCI     locus count for the simulated genome (default 120)
   RIBBIT_BENCH_BACKEND  'host' | 'tpu' scan backend (default host)
 """
 
@@ -51,6 +51,11 @@ def main() -> None:
         ours_s = min(ours_s, time.perf_counter() - t0)
     ours_mbps = mbp / ours_s
 
+    if os.environ.get("RIBBIT_BENCH_SHUFFLE"):
+        # test hook: deliberately break emission order so the parity gate's
+        # order sensitivity is itself testable
+        lines = lines[::-1]
+
     # --- reference baseline (single-core C++ oracle) ---
     oracle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "oracle", "ribbit_oracle")
@@ -69,9 +74,11 @@ def main() -> None:
             ref_s = min(ref_s, time.perf_counter() - t0)
         if res.returncode == 0:
             vs_baseline = round((mbp / ours_s) / (mbp / ref_s), 4)
-            # sanity: outputs must match or the speed is meaningless
-            ref = sorted(open("/tmp/ribbit_bench_ref.bed").read().splitlines())
-            if sorted(lines) != ref:
+            # sanity: outputs must match BYTE-FOR-BYTE IN ORDER (emission
+            # order is part of the parity contract) or the speed is
+            # meaningless
+            ref = open("/tmp/ribbit_bench_ref.bed").read().splitlines()
+            if lines != ref:
                 print(json.dumps({"metric": "e2e_throughput", "value": 0.0,
                                   "unit": "Mbp/s", "vs_baseline": 0.0,
                                   "error": "parity_mismatch"}))

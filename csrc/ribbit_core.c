@@ -35,6 +35,14 @@
 typedef int64_t i64;
 typedef int32_t i32;
 
+/* growth-path allocations have no recovery that preserves the output
+ * contract; fail loudly instead of dereferencing NULL */
+static void *xrealloc(void *p, size_t sz) {
+    void *q = realloc(p, sz ? sz : 1);
+    if (!q) { fprintf(stderr, "ribbit_core: out of memory\n"); abort(); }
+    return q;
+}
+
 /* rank constants (global_variables.cpp:29-35) */
 #define RANK_P 5
 #define RANK_Q 4
@@ -60,7 +68,7 @@ static void sl_free(SeedList *s) { free(s->d); s->d = NULL; s->n = s->cap = 0; }
 static void sl_push(SeedList *s, Seed v) {
     if (s->n == s->cap) {
         s->cap = s->cap ? s->cap * 2 : 64;
-        s->d = (Seed *)realloc(s->d, (size_t)s->cap * sizeof(Seed));
+        s->d = (Seed *)xrealloc(s->d, (size_t)s->cap * sizeof(Seed));
     }
     s->d[s->n++] = v;
 }
@@ -76,7 +84,7 @@ static void iv_free(IVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
 static void iv_push(IVec *v, i64 x) {
     if (v->n == v->cap) {
         v->cap = v->cap ? v->cap * 2 : 64;
-        v->d = (i64 *)realloc(v->d, (size_t)v->cap * sizeof(i64));
+        v->d = (i64 *)xrealloc(v->d, (size_t)v->cap * sizeof(i64));
     }
     v->d[v->n++] = x;
 }
@@ -92,7 +100,7 @@ static void ev_free(EVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
 static void ev_push(EVec *v, Emis e) {
     if (v->n == v->cap) {
         v->cap = v->cap ? v->cap * 2 : 256;
-        v->d = (Emis *)realloc(v->d, (size_t)v->cap * sizeof(Emis));
+        v->d = (Emis *)xrealloc(v->d, (size_t)v->cap * sizeof(Emis));
     }
     e.seq = (i32)v->n;
     v->d[v->n++] = e;

@@ -52,11 +52,24 @@ i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b);
 
 typedef struct { char *d; i64 n, cap; } StrBuf;
 
+/* allocation failure here has no recovery path that preserves the output
+ * contract; fail loudly instead of dereferencing NULL */
+static void *xmalloc(size_t sz) {
+    void *p = malloc(sz ? sz : 1);
+    if (!p) { fprintf(stderr, "ribbit_refine: out of memory\n"); abort(); }
+    return p;
+}
+static void *xrealloc(void *p, size_t sz) {
+    void *q = realloc(p, sz ? sz : 1);
+    if (!q) { fprintf(stderr, "ribbit_refine: out of memory\n"); abort(); }
+    return q;
+}
+
 static void sb_reserve(StrBuf *b, i64 extra) {
     if (b->n + extra + 1 > b->cap) {
         b->cap = b->cap ? b->cap * 2 : 4096;
         while (b->n + extra + 1 > b->cap) b->cap *= 2;
-        b->d = (char *)realloc(b->d, (size_t)b->cap);
+        b->d = (char *)xrealloc(b->d, (size_t)b->cap);
     }
 }
 
@@ -550,16 +563,22 @@ static i64 perfect_units_of(const RefineCtx *x, i64 m) {
 static void emit_line(RefineCtx *x, i64 start, i64 end, const char *motif,
                       i64 atomicity, i64 motif_length, i64 length, i64 units,
                       float purity, i64 seed_type, const char *cigar) {
-    char head[256];
-    int n = snprintf(head, sizeof head,
+    /* the motif string scales with -M, so the head buffer must too */
+    char stack_head[256];
+    i64 cap = (i64)strlen(motif) + 200;
+    char *head = cap <= (i64)sizeof stack_head
+                     ? stack_head : (char *)xmalloc((size_t)cap);
+    int n = snprintf(head, (size_t)cap,
                      "%lld\t%lld\t%s\t%lld | %lld\t%lld\t%lld\t%.6g\t+\tSEED-%lld\t",
                      (long long)start, (long long)end, motif,
                      (long long)atomicity, (long long)motif_length,
                      (long long)length, (long long)units, (double)purity,
                      (long long)seed_type);
+    if (n >= cap) n = (int)(cap - 1);
     sb_append(x->out, x->seq_id, x->seq_id_len);
     sb_append(x->out, "\t", 1);
     sb_append(x->out, head, n);
+    if (head != stack_head) free(head);
     sb_append(x->out, cigar, (i64)strlen(cigar));
     sb_append(x->out, "\n", 1);
 }
@@ -853,7 +872,11 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
         < CONTINUOUS_ONES_THRESHOLD) return;
 
     i64 ppr_len = ppr_length_of(ssl, motif_length);
-    int8_t motif_bases[128];
+    /* motif_length is bounded only by the user's -M flag (the reference
+     * accepts any value, ribbit.cpp:86), so the motif buffers are sized
+     * from it rather than fixed on the stack */
+    int8_t *motif_bases = (int8_t *)xmalloc((size_t)(2 * (motif_length + 1)));
+    char *motif_str = (char *)(motif_bases + motif_length + 1);
     i64 atomicity;
     if (motif_length <= 10) {
         uint64_t unit = most_frequent_motif(x, seed_start, ssl, motif_length);
@@ -867,12 +890,18 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
             i64 p = mm + i;
             motif_bases[i] = (p < x->L) ? x->code[p] : 0;
         }
+        /* QUIRK: the reference packs the motif into a uint256_t
+         * (parse_seed.cpp:246-253); for m > 128 the leading m-128 bases
+         * overflow out and read back as 'A' (zero).  With the leading
+         * bases zeroed, plain base-array periodicity is arithmetically
+         * identical to calculateAtomicityLongMotif on the truncated
+         * value (both the f <= m-128 all-ones-mask case and f > m-128). */
+        for (i64 i = 0; i < motif_length - 128; i++) motif_bases[i] = 0;
         atomicity = atomicity_bases(motif_bases, (i32)motif_length, 0);
     }
 
-    if (motif_length % atomicity != 0) return;
+    if (motif_length % atomicity != 0) { free(motif_bases); return; }
 
-    char motif_str[128];
     for (i64 i = 0; i < atomicity; i++)
         motif_str[i] = BASE_CHARS[motif_bases[i]];
     motif_str[atomicity] = 0;
@@ -885,8 +914,8 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
     char *cigar = run_align(x->translated + seed_start, read_len, ppr,
                             ppr_len, out6);
     free(ppr);
-    if (cigar == NULL) return;
-    if (cigar[0] == 0) { free(cigar); return; }
+    if (cigar == NULL) { free(motif_bases); return; }
+    if (cigar[0] == 0) { free(cigar); free(motif_bases); return; }
 
     CigarResult cr = process_cigar_with_pruning(
         seed_start, ssl, cigar, atomicity, x->minimum_length, x->tbl_size);
@@ -904,6 +933,7 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
         }
     }
     free(cr.cigar);
+    free(motif_bases);
 
     /* recursion into uncovered flanks (parse_seed.cpp:444-463) */
     i64 flank_start = seed_start;

@@ -340,8 +340,12 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
         _i, sid, seq = rec
         if engine == "core" and scan_backend == "host" and chunk_size \
                 and len(seq) > chunk_size + chunk_size // 2:
-            # long contigs chunk at big-N-run midpoints only (strict ->
-            # byte-identical to the whole-contig run)
+            # long contigs chunk at big-N-run midpoints only (strict mode).
+            # Exact except for the reference's anchored positional-vote
+            # quirk (parse_anchored_shiftxor.cpp:441-526), which can read
+            # unrelated early list entries across a split (~0.03% of lines
+            # on adversarial input); omit --chunk-size for guaranteed
+            # bit-exact output (see _choose_splits)
             return process_sequence_chunked(sid, seq, cfg,
                                             chunk_size=chunk_size,
                                             strict=True)

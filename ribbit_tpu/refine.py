@@ -125,7 +125,10 @@ def most_frequent_longer_motif(code: np.ndarray, n_mask: np.ndarray,
         unit = 0
         for c in code[mm:mm + motif_length].tolist():
             unit = (unit << 2) | int(c)
-        return unit
+        # QUIRK: the reference packs the motif into a uint256_t
+        # (parse_seed.cpp:246-253), so for motif_length > 128 the leading
+        # 2*(m-128) bits overflow away and those bases read back as 'A'
+        return unit & ((1 << 256) - 1)
 
     seed_end = seed_start + seed_sequence_length
     m = motif_length
@@ -211,7 +214,8 @@ def most_frequent_longer_motif(code: np.ndarray, n_mask: np.ndarray,
     motif_unit = 0
     for c in code[mmotif_index:mmotif_index + m].tolist():
         motif_unit = (motif_unit << 2) | int(c)
-    return motif_unit
+    # QUIRK: uint256_t packing truncation for m > 128 (parse_seed.cpp:246-253)
+    return motif_unit & ((1 << 256) - 1)
 
 
 def _most_frequent_longer_motif_scalar(code: np.ndarray, n_mask: np.ndarray,
@@ -287,7 +291,8 @@ def _most_frequent_longer_motif_scalar(code: np.ndarray, n_mask: np.ndarray,
     motif_unit = 0
     for j in range(mmotif_index, mmotif_index + m):
         motif_unit = (motif_unit << 2) | int(code[j])
-    return motif_unit
+    # QUIRK: uint256_t packing truncation for m > 128 (parse_seed.cpp:246-253)
+    return motif_unit & ((1 << 256) - 1)
 
 
 def _n_trimmed_length(n_mask: np.ndarray, seed_start: int, seed_end: int,

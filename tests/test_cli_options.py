@@ -54,3 +54,19 @@ def test_sparse_tsv_parity(golden_dir, tmp_path):
     _run_pair(golden_dir / "g1.fa", tmp_path,
               ["--min-units", str(units), "--perfect-units", str(punits)])
     _run_pair(golden_dir / "g1.fa", tmp_path, ["-l", str(units)])
+
+
+@pytest.mark.skipif(not ORACLE.exists(), reason="oracle not built")
+def test_large_max_motif_parity(tmp_path):
+    """-M above 127 with a long-motif repeat present: the native refiner's
+    motif buffers must scale with max_motif (regression: fixed 128-byte
+    stack buffers overflowed in the large-motif path)."""
+    import random
+    rng = random.Random(7)
+    motif = "".join(rng.choice("ACGT") for _ in range(140))
+    flank = "".join(rng.choice("ACGT") for _ in range(600))
+    seq = flank + motif * 6 + flank
+    fa = tmp_path / "longmotif.fa"
+    fa.write_text(">lm\n" + "\n".join(seq[i:i + 80]
+                                      for i in range(0, len(seq), 80)) + "\n")
+    _run_pair(fa, tmp_path, ["-m", "100", "-M", "150"])

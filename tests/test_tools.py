@@ -38,3 +38,24 @@ def test_evaluate_recall_precision(tmp_path):
     assert r.returncode == 0
     assert "recall: 0.500" in r.stdout
     assert "precision: 1.000" in r.stdout
+
+
+def test_bench_parity_gate_is_order_sensitive(tmp_path):
+    """The bench gate must compare output IN ORDER (emission order is part
+    of the byte-parity contract): a shuffled result reports parity_mismatch
+    and zeroes the score; the unshuffled run reports a clean number."""
+    import json
+    import os
+    repo = TOOLS.parent
+    env = dict(os.environ,
+               RIBBIT_BENCH_LOCI="8", RIBBIT_BENCH_CONTIGS="2")
+    r = subprocess.run([sys.executable, str(repo / "bench.py")],
+                       capture_output=True, text=True, env=env, cwd=repo)
+    ok = json.loads(r.stdout.strip().splitlines()[-1])
+    assert ok.get("error") is None and ok["value"] > 0
+
+    env["RIBBIT_BENCH_SHUFFLE"] = "1"
+    r = subprocess.run([sys.executable, str(repo / "bench.py")],
+                       capture_output=True, text=True, env=env, cwd=repo)
+    bad = json.loads(r.stdout.strip().splitlines()[-1])
+    assert bad.get("error") == "parity_mismatch" and bad["value"] == 0.0
