@@ -84,10 +84,21 @@ def main() -> None:
                                   "error": "parity_mismatch"}))
                 return
 
+    # --- on-device TPU kernel throughput (device-resident data; no
+    # host<->device transfers in the timed region) ---
+    device = {}
+    if os.environ.get("RIBBIT_BENCH_DEVICE", "1") != "0":
+        try:
+            from ribbit_tpu.bench_device import run_device_bench
+            device = run_device_bench()
+        except Exception as exc:  # no TPU / Mosaic unavailable: e2e only
+            print(f"device bench skipped: {exc}", file=sys.stderr)
+
     print(json.dumps({"metric": "e2e_throughput",
                       "value": round(ours_mbps, 4),
                       "unit": "Mbp/s",
-                      "vs_baseline": vs_baseline}))
+                      "vs_baseline": vs_baseline,
+                      **device}))
 
 
 if __name__ == "__main__":

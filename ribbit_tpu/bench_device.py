@@ -1,0 +1,131 @@
+"""On-device-resident TPU kernel benchmarks.
+
+Times the two flagship device kernels with ALL data generated and kept on
+the device — no host<->device transfers of the working set, so the numbers
+are true per-chip kernel throughput even over the slow axon tunnel
+(~1 MB/s), which forbids transfer-based benching.
+
+  bench_scan  : scan_pallas_full full generation (eq + anchors + overlay +
+                qualified windows + perfect flags for every motif channel,
+                the O(NSHIFTS*L) pass replacing fasta_utils.cpp:120-161)
+                -> Mbp/s per chip
+  bench_align : align_pallas batched SSW forward scoring (replacing
+                ssw.c:197-386) -> pairs/s and GCUPS
+
+Methodology: the axon backend's block_until_ready can return before remote
+execution completes (per-call wall times did not scale with kernel work),
+so each measurement jits ONE fused computation covering the whole sweep
+and returns a single scalar whose host fetch (float()) forces real
+completion.  The scalar fetch + RPC adds ~15-25 ms, which only makes the
+reported throughput conservative.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _groups(cfg):
+    from . import scan_pallas_full as spf
+    out = []
+    m = cfg.min_motif
+    while m <= cfg.max_motif:
+        nmot = min(spf.GROUP, cfg.max_motif - m + 1)
+        out.append((m, nmot))
+        m += nmot
+    return out
+
+
+def bench_scan(cfg=None, L: int = 1 << 20, reps: int = 3) -> dict:
+    """Full-generation scan throughput over all motif channels, Mbp/s/chip."""
+    from . import scan_pallas_full as spf
+    if cfg is None:
+        from .config import RibbitConfig
+        cfg = RibbitConfig.create()
+
+    Lp = ((L + spf.TILE - 1) // spf.TILE) * spf.TILE
+    total = spf.LPAD + Lp + spf.RPAD
+    # device-resident synthetic genome; LPAD prefix stays non-matching
+    # sentinels (values >= 5 never equal a base code)
+    sent = jnp.arange(-spf.LPAD, 0, dtype=jnp.int32) % 251 + 5
+    code = jax.random.randint(jax.random.PRNGKey(0), (1, total), 0, 4,
+                              dtype=jnp.int32).at[0, :spf.LPAD].set(sent)
+    nmask = jnp.zeros((1, total), jnp.int32).at[0, spf.LPAD + L:].set(1)
+    code, nmask = jax.block_until_ready((code, nmask))
+
+    groups = _groups(cfg)
+    Ld = jnp.int32(L)
+
+    @jax.jit
+    def sweep(code):
+        acc = jnp.int32(0)
+        for m0, nmot in groups:
+            outs = spf._gen_group(code, nmask, Ld, m0=m0, nmot=nmot,
+                                  min_shift=cfg.min_shift, interpret=False)
+            acc = acc + outs[0][0, :128].sum()
+        return acc
+
+    t0 = time.perf_counter()
+    float(sweep(code))                        # compile + warmup
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(sweep(code))                    # fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    return {"tpu_scan_mbps": round(L / 1e6 / best, 2),
+            "tpu_scan_channels": cfg.max_motif - cfg.min_motif + 1,
+            "tpu_scan_compile_s": round(compile_s, 1)}
+
+
+def bench_align(B: int = 512, R: int = 256, C: int = 384,
+                reps: int = 3) -> dict:
+    """Batched SSW forward scoring throughput at refinement-typical shapes."""
+    from . import align_pallas as ap
+
+    rd = jax.random.randint(jax.random.PRNGKey(1), (B, R), 0, 4,
+                            dtype=jnp.int32)
+    rf = jax.random.randint(jax.random.PRNGKey(2), (B, C), 0, 4,
+                            dtype=jnp.int32)
+    rl = jnp.zeros((B, 128), jnp.int32).at[:, 0].set(R)
+    cl = jnp.zeros((B, 128), jnp.int32).at[:, 0].set(C)
+    tm = jnp.full((B, 128), -1, jnp.int32)
+    args = jax.block_until_ready((rd, rf, rl, cl, tm))
+
+    call = functools.partial(ap._fwd_call, R=R, C=C, interpret=False)
+
+    @jax.jit
+    def align(rd, rf):
+        score, *_ = call(rd, rf, rl, cl, tm)
+        return score[:, 0].sum()
+
+    float(align(rd, rf))                      # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(align(rd, rf))
+        best = min(best, time.perf_counter() - t0)
+    return {"tpu_align_pairs_per_s": round(B / best),
+            "tpu_align_gcups": round(B * R * C / best / 1e9, 2)}
+
+
+def run_device_bench() -> dict:
+    """Both kernel benches; {} when no TPU is reachable."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return {}
+    except Exception:
+        return {}
+    out = {}
+    out.update(bench_scan())
+    out.update(bench_align())
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    print(json.dumps(run_device_bench()))
