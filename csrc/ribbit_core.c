@@ -31,6 +31,9 @@
 #include <pthread.h>
 #include <unistd.h>
 #include <malloc.h>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 typedef int64_t i64;
 typedef int32_t i32;
@@ -39,6 +42,18 @@ typedef int32_t i32;
  * contract; fail loudly instead of dereferencing NULL */
 static void *xrealloc(void *p, size_t sz) {
     void *q = realloc(p, sz ? sz : 1);
+    if (!q) { fprintf(stderr, "ribbit_core: out of memory\n"); abort(); }
+    return q;
+}
+
+static void *xmalloc(size_t sz) {
+    void *q = malloc(sz ? sz : 1);
+    if (!q) { fprintf(stderr, "ribbit_core: out of memory\n"); abort(); }
+    return q;
+}
+
+static void *xcalloc(size_t n, size_t sz) {
+    void *q = calloc(n ? n : 1, sz ? sz : 1);
     if (!q) { fprintf(stderr, "ribbit_core: out of memory\n"); abort(); }
     return q;
 }
@@ -124,7 +139,7 @@ typedef struct {
     EVec *per;
     i32 nch;
     i64 *head;
-    uint64_t *heap;             /* (pos << 8) | channel: one compare per sift */
+    uint64_t *heap;             /* (pos << 16) | channel: one compare per sift */
     i32 hn;
 } EvMerge;
 
@@ -141,12 +156,10 @@ static void evm_sift_down(EvMerge *m) {
     }
 }
 
-static void evm_init(EvMerge *m, EVec *per, i32 nch) {
-    m->per = per;
-    m->nch = nch;
-    m->head = (i64 *)calloc((size_t)nch, sizeof(i64));
-    m->heap = (uint64_t *)malloc((size_t)nch * sizeof(uint64_t));
-    m->hn = 0;
+/* per-channel chronological-order guarantee shared by the merge consumers:
+ * vectors are generation-ordered, which is (pos, sub)-sorted in practice; a
+ * stable-keyed qsort runs only on a detected monotonicity violation. */
+static void ev_ensure_sorted(EVec *per, i32 nch) {
     for (i32 d = 0; d < nch; d++) {
         EVec *v = &per[d];
         int sorted = 1;
@@ -161,9 +174,42 @@ static void evm_init(EvMerge *m, EVec *per, i32 nch) {
         if (!sorted)
             qsort(v->d, (size_t)v->n, sizeof(Emis), emis_cmp);
     }
+}
+
+static void u64heap_sift_down(uint64_t *h, i32 hn) {
+    i32 i = 0;
+    for (;;) {
+        i32 l = 2 * i + 1, r = 2 * i + 2, sm = i;
+        if (l < hn && h[l] < h[sm]) sm = l;
+        if (r < hn && h[r] < h[sm]) sm = r;
+        if (sm == i) break;
+        uint64_t tmp = h[i]; h[i] = h[sm]; h[sm] = tmp;
+        i = sm;
+    }
+}
+
+static void u64heap_push(uint64_t *h, i32 *hn, uint64_t key) {
+    i32 i = (*hn)++;
+    h[i] = key;
+    while (i > 0) {
+        i32 parent = (i - 1) >> 1;
+        if (h[i] < h[parent]) {
+            uint64_t tmp = h[i]; h[i] = h[parent]; h[parent] = tmp;
+            i = parent;
+        } else break;
+    }
+}
+
+static void evm_init(EvMerge *m, EVec *per, i32 nch) {
+    m->per = per;
+    m->nch = nch;
+    m->head = (i64 *)calloc((size_t)nch, sizeof(i64));
+    m->heap = (uint64_t *)malloc((size_t)nch * sizeof(uint64_t));
+    m->hn = 0;
+    ev_ensure_sorted(per, nch);
     for (i32 d = 0; d < nch; d++) {
         if (per[d].n == 0) continue;
-        uint64_t key = ((uint64_t)per[d].d[0].pos << 8) | (uint64_t)d;
+        uint64_t key = ((uint64_t)per[d].d[0].pos << 16) | (uint64_t)d;
         i32 i = m->hn++;
         m->heap[i] = key;
         while (i > 0) {
@@ -181,13 +227,13 @@ static void evm_init(EvMerge *m, EVec *per, i32 nch) {
 /* pop the global-minimum event; returns 0 when drained */
 static int evm_next(EvMerge *m, Emis *out) {
     if (m->hn == 0) return 0;
-    i32 d = (i32)(m->heap[0] & 0xFF);
+    i32 d = (i32)(m->heap[0] & 0xFFFF);
     *out = m->per[d].d[m->head[d]];
     m->head[d]++;
     if (m->head[d] >= m->per[d].n) {
         m->heap[0] = m->heap[--m->hn];
     } else {
-        m->heap[0] = ((uint64_t)m->per[d].d[m->head[d]].pos << 8)
+        m->heap[0] = ((uint64_t)m->per[d].d[m->head[d]].pos << 16)
                      | (uint64_t)d;
     }
     evm_sift_down(m);
@@ -197,7 +243,7 @@ static int evm_next(EvMerge *m, Emis *out) {
 /* peek the next event without consuming (for the EOF from_index quirk) */
 static int evm_peek(EvMerge *m, Emis *out) {
     if (m->hn == 0) return 0;
-    i32 d = (i32)(m->heap[0] & 0xFF);
+    i32 d = (i32)(m->heap[0] & 0xFFFF);
     *out = m->per[d].d[m->head[d]];
     return 1;
 }
@@ -604,7 +650,21 @@ static void *gen_worker(void *arg) {
          * (the lattices' retain rules, refinement's continuous-ones guard) */
         if (c->ov_pack) {
             uint64_t *dst = c->ov_pack[didx];
-            for (i64 wi = 0; wi < c->ov_words; wi++) {
+            i64 wi = 0;
+#ifdef __AVX2__
+            for (; (wi + 1) << 6 <= L; wi++) {
+                const uint8_t *src = obuf + (wi << 6);
+                __m256i z = _mm256_setzero_si256();
+                __m256i a = _mm256_loadu_si256((const __m256i *)src);
+                __m256i b = _mm256_loadu_si256((const __m256i *)(src + 32));
+                uint32_t lo = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpgt_epi8(a, z));
+                uint32_t hi = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpgt_epi8(b, z));
+                dst[wi] = (uint64_t)lo | ((uint64_t)hi << 32);
+            }
+#endif
+            for (; wi < c->ov_words; wi++) {
                 uint64_t word = 0;
                 i64 base = wi << 6;
                 i64 lim = L - base < 64 ? L - base : 64;
@@ -1273,6 +1333,17 @@ static void merge_all_lists(RibbitCore *c, i64 from_index_perfect,
 
 typedef struct { i64 fip, fis; } FromIdx;
 
+/* The from-cursor advance (parse_anchored_shiftxor.cpp:121-137 semantics,
+ * as in add_seed_anchored's entry block): step while the current entry's
+ * start <= seed_end, clamped at n-1.  A stuck-at-barrier forward cursor is
+ * monotone in its threshold, so advancing by e1 then e2 equals one advance
+ * by max(e1, e2) — run_anchored_scan exploits this to fold the advances of
+ * cutoff-rejected emissions into a pending max instead of a call each. */
+static inline i64 advance_cursor(const SeedList *l, i64 from, i64 e) {
+    while (from < l->n - 1 && l->d[from].start <= e) from++;
+    return from;
+}
+
 static FromIdx add_seed_anchored(RibbitCore *c, i64 seed_start, i64 seed_end,
                                  i64 motif_length, const i64 *seedlen_cutoffs,
                                  FromIdx from, i64 seed_type) {
@@ -1935,8 +2006,17 @@ static void run_substitution_scan(RibbitCore *c) {
 }
 
 static void run_anchored_scan(RibbitCore *c) {
+    const char *timing = getenv("RIBBIT_CORE_TIMING");
+    struct timespec a0, a1;
+#define ATICK(label) do { if (timing) { \
+    clock_gettime(CLOCK_MONOTONIC, &a1); \
+    fprintf(stderr, "[core]   anchored.%-8s %.3fs\n", label, \
+            (double)(a1.tv_sec - a0.tv_sec) + 1e-9 * (a1.tv_nsec - a0.tv_nsec)); \
+    a0 = a1; } } while (0)
+    if (timing) clock_gettime(CLOCK_MONOTONIC, &a0);
     EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
     gen_emissions_parallel(c, c->q6_s, c->q6_e, per);
+    ATICK("emisgen");
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
@@ -1944,26 +2024,112 @@ static void run_anchored_scan(RibbitCore *c) {
         if (m >= 10) cut = (i64)(0.9 * (double)m);
         cutoffs[d] = cut;
     }
-    EvMerge mg;
-    evm_init(&mg, per, c->nmotifs);
-    Emis ev, nxt;
+    ev_ensure_sorted(per, c->nmotifs);
+    ATICK("mginit");
     FromIdx from = {0, 0};
-    while (evm_next(&mg, &ev)) {
-        i64 m = c->min_motif + ev.didx;
-        if (ev.pos < c->L) {
-            from = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from, RANK_A);
-        } else {
-            /* QUIRK: in the end-of-sequence flush only the "save both
-             * separately" first call updates from_indices
-             * (parse_anchored_shiftxor.cpp:713 vs 688/697/706/717) */
-            FromIdx nf = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from,
-                                           RANK_A);
-            if (ev.sub == 0 && evm_peek(&mg, &nxt) &&
-                nxt.didx == ev.didx && nxt.sub == 1)
-                from = nf;
+    /* Cutoff-rejected emissions (the vast majority on repeat-dense input)
+     * only advance the from-cursors: add_seed_anchored returns right after
+     * its entry advance when seed_end - seed_start < cutoff, and cursor
+     * advances compose through max (see advance_cursor).  The heap
+     * therefore carries only each channel's next SURVIVING emission
+     * (global merge key (pos << 16) | channel, ties within a channel by
+     * generation order, exactly emis_cmp); the rejected majority is folded
+     * into `pend` by per-channel fold cursors that drain, at each
+     * surviving event, every event ordered strictly before it.  The
+     * stream of add_seed_anchored calls and the from-cursor values they
+     * observe are bit-identical to the full single-stream merge, with the
+     * heap sifts for ~16x-more-frequent rejected events replaced by
+     * linear cursor scans. */
+    i64 pend = -1;
+#define ANCH_APPLY_PEND() do { if (pend >= 0) { \
+        from.fip = advance_cursor(&c->perfect, from.fip, pend); \
+        from.fis = advance_cursor(&c->substut, from.fis, pend); \
+        pend = -1; } } while (0)
+    {
+        const i64 KMAX = (i64)1 << 62;
+        i32 nch = c->nmotifs;
+        i64 *fcur = (i64 *)xcalloc((size_t)nch, sizeof(i64));
+        i64 *fkey = (i64 *)xmalloc((size_t)nch * sizeof(i64));
+        i64 *snext = (i64 *)xmalloc((size_t)nch * sizeof(i64));
+        uint64_t *heap = (uint64_t *)xmalloc((size_t)nch * sizeof(uint64_t));
+        i32 hn = 0;
+        for (i32 d = 0; d < nch; d++) {
+            EVec *v = &per[d];
+            fkey[d] = v->n ? (((i64)v->d[0].pos << 16) | d) : KMAX;
+            i64 i = 0;
+            while (i < v->n && (i64)v->d[i].e - v->d[i].s < cutoffs[d]) i++;
+            snext[d] = i;
+            if (i < v->n)
+                u64heap_push(heap, &hn,
+                             ((uint64_t)v->d[i].pos << 16) | (uint64_t)d);
         }
+        while (hn) {
+            i32 d = (i32)(heap[0] & 0xFFFF);
+            EVec *v = &per[d];
+            i64 i = snext[d];
+            Emis ev = v->d[i];
+            i64 skey = ((i64)ev.pos << 16) | d;
+
+            /* fold every rejected event ordered before ev: strictly
+             * smaller key in other channels, smaller index in ev's own
+             * channel (equal-key cross-channel ties are impossible — the
+             * key embeds the channel) */
+            for (i32 dd = 0; dd < nch; dd++) {
+                if (fkey[dd] >= skey && dd != d) continue;
+                EVec *w = &per[dd];
+                i64 j = fcur[dd], lim = (dd == d) ? i : w->n;
+                while (j < lim) {
+                    Emis *r = &w->d[j];
+                    if (dd != d && (((i64)r->pos << 16) | dd) >= skey) break;
+                    if ((i64)r->e - (i64)r->s < cutoffs[dd]) {
+                        /* QUIRK (EOF flush): only the sub=0 emission of a
+                         * "save both separately" pair advances from_indices
+                         * (parse_anchored_shiftxor.cpp:713 vs 688-717) */
+                        if (r->pos < c->L ? 1
+                              : (r->sub == 0 && j + 1 < w->n
+                                 && w->d[j + 1].sub == 1)) {
+                            if (r->e > pend) pend = r->e;
+                        }
+                    }
+                    j++;
+                }
+                fcur[dd] = j;
+                fkey[dd] = j < w->n ? (((i64)w->d[j].pos << 16) | dd) : KMAX;
+            }
+
+            i64 m = c->min_motif + ev.didx;
+            if (ev.pos < c->L) {
+                ANCH_APPLY_PEND();
+                from = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from,
+                                         RANK_A);
+            } else {
+                /* global-next after an EOF emission is its own channel's
+                 * next entry whenever that entry shares the (pos=L) key,
+                 * so the original evm_peek condition reduces to it */
+                int updates = (ev.sub == 0 && i + 1 < v->n
+                               && v->d[i + 1].sub == 1);
+                ANCH_APPLY_PEND();
+                FromIdx nf = add_seed_anchored(c, ev.s, ev.e, m, cutoffs,
+                                               from, RANK_A);
+                if (updates) from = nf;
+            }
+
+            fcur[d] = i + 1;
+            fkey[d] = i + 1 < v->n ? (((i64)v->d[i + 1].pos << 16) | d) : KMAX;
+            i64 s2 = i + 1;
+            while (s2 < v->n && (i64)v->d[s2].e - v->d[s2].s < cutoffs[d]) s2++;
+            snext[d] = s2;
+            if (s2 < v->n)
+                heap[0] = ((uint64_t)v->d[s2].pos << 16) | (uint64_t)d;
+            else
+                heap[0] = heap[--hn];
+            u64heap_sift_down(heap, hn);
+        }
+        free(fcur); free(fkey); free(snext); free(heap);
     }
-    evm_free(&mg);
+#undef ANCH_APPLY_PEND
+    ATICK("consume");
+#undef ATICK
     free(cutoffs);
     for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
     free(per);
