@@ -512,6 +512,50 @@ static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
     }
 }
 
+/* byte_runs_skip restricted to window tile [T0, W1) of the full domain
+ * [0, nw), with the cross-tile open run carried in *open.  qb is
+ * tile-local (qb[0] = window T0).  Emits exactly the runs the full-domain
+ * pass emits, each in the tile where it is seen to close (a run closing
+ * exactly at a tile boundary is emitted by the next tile — same values,
+ * same per-channel order). */
+static void tile_byte_runs(const uint8_t *qb, i64 T0, i64 W1, i64 nw,
+                           i64 *open, IVec *ss, IVec *ee) {
+    i64 n = W1 - T0;
+    i64 j = 0;
+    if (*open >= 0) {
+        while (j < n && qb[j]) j++;
+        if (j < n) {
+            iv_push(ss, *open); iv_push(ee, T0 + j);
+            *open = -1;
+        } else if (W1 == nw) {
+            iv_push(ss, *open); iv_push(ee, nw);
+            *open = -1;
+            return;
+        } else {
+            return;                     /* run spans the whole tile */
+        }
+    }
+    i64 p = j;
+    while (p < n) {
+        while (p + 8 <= n) {
+            uint64_t w;
+            memcpy(&w, qb + p, 8);
+            if (w) break;
+            p += 8;
+        }
+        while (p < n && !qb[p]) p++;
+        if (p >= n) break;
+        i64 s = p;
+        while (p < n && qb[p]) p++;
+        if (p == n && W1 < nw) {        /* may continue into the next tile */
+            *open = T0 + s;
+            return;
+        }
+        iv_push(ss, T0 + s);
+        iv_push(ee, T0 + p);            /* p==n with W1==nw: e = nw */
+    }
+}
+
 /* next set byte at index >= p with zero-chunk skipping; returns n if none */
 static inline i64 next_set_byte(const uint8_t *b, i64 p, i64 n) {
     while (p + 8 <= n) {
@@ -530,153 +574,248 @@ typedef struct {
     const uint8_t *n8;          /* shared per-window N counts */
 } GenTask;
 
+/* Tile size for the cache-blocked generation pass.  The 1-byte-per-
+ * position working set of one worker (5 eq slots + 5 anchor slots +
+ * overlay/pm/ladder/window temps, each ~TS + halo) is ~1 MB at 64 KB, so
+ * every per-channel pass after the first runs out of L2/L3 instead of
+ * streaming the whole chromosome through DRAM ~15x per channel.  Must be
+ * a multiple of 64 (overlay pack words align to tile bounds). */
+#define GEN_TS ((i64)1 << 16)
+
 static void *gen_worker(void *arg) {
     GenTask *t = (GenTask *)arg;
     RibbitCore *c = t->c;
     i64 L = c->L;
-    size_t BUF = (size_t)(L + GEN_PAD);
-
-    uint8_t *ebuf[5], *abuf[5];
-    i64 atag[5];
-    for (int i = 0; i < 5; i++) {
-        ebuf[i] = (uint8_t *)calloc(BUF, 1);
-        abuf[i] = (uint8_t *)calloc(BUF, 1);
-        atag[i] = -1;
-    }
-    uint8_t *obuf = (uint8_t *)calloc(BUF, 1);
-    uint8_t *pm = (uint8_t *)calloc(BUF, 1);
-    uint8_t *t2 = (uint8_t *)calloc(BUF, 1);
-    uint8_t *t4 = (uint8_t *)calloc(BUF, 1);
-    uint8_t *t8 = (uint8_t *)calloc(BUF, 1);
-    uint8_t *qb = (uint8_t *)calloc(BUF, 1);
-    const uint8_t *n8 = t->n8;
     i64 nw = L - WINDOW_LENGTH + 1;
+    i32 nm = c->nmotifs;
+    const uint8_t *n8 = t->n8;
 
     i64 shift_lo = t->m_lo - 2;
     if (shift_lo < 1) shift_lo = 1;
     if (shift_lo < c->min_shift) shift_lo = c->min_shift;
+    i64 maxs = (i64)t->m_hi + 2;
 
-    for (i64 shift = shift_lo; shift <= (i64)t->m_hi + 2; shift++) {
-        int slot = (int)(shift % 5);
-        eq_fill(c, shift, 0, L, ebuf[slot]);
+    /* halos: anchors scan [T0 - 2s - 1, T1 + 8 + 2s); windows read +7;
+     * ladders look ahead +8.  One uniform halo for every shift keeps all
+     * buffers on a single base offset. */
+    const i64 TS = GEN_TS;
+    const i64 HB = 2 * maxs + 1, HF = 2 * maxs + 8;
+    const size_t BUFT = (size_t)(TS + HB + HF + 16);
+    const size_t TBUF = (size_t)(TS + 24);
 
-        /* anchors: candidate 3-runs expanded with closure + length rules
-         * (parse_anchored_shiftxor.cpp:20-56) */
-        memset(abuf[slot], 0, (size_t)L);
-        atag[slot] = shift;
-        {
-            const uint8_t *restrict eb = ebuf[slot];
-            uint8_t *restrict r2 = t2, *restrict r3 = t4;
-            for (i64 p = 0; p < L + 4; p++) r2[p] = eb[p] & eb[p + 1];
-            for (i64 p = 0; p < L; p++) r3[p] = r2[p] & eb[p + 2];
+    uint8_t *ebuf[5], *abuf[5];
+    i64 atag[5];
+    for (int i = 0; i < 5; i++) {
+        ebuf[i] = (uint8_t *)xcalloc(BUFT, 1);
+        abuf[i] = (uint8_t *)xcalloc(TBUF, 1);
+    }
+    uint8_t *r3b = (uint8_t *)xcalloc(BUFT, 1);
+    uint8_t *pmb = (uint8_t *)xcalloc(TBUF, 1);   /* pmb[0]: [T0-1] guard */
+    uint8_t *r6b = (uint8_t *)xcalloc(TBUF, 1);
+    uint8_t *obb = (uint8_t *)xcalloc(TBUF, 1);
+    uint8_t *t8b = (uint8_t *)xcalloc(TBUF, 1);
+    uint8_t *qbb = (uint8_t *)xcalloc(TBUF, 1);
+
+    /* cross-tile open-run carry per channel */
+    i64 *perf_open = (i64 *)xmalloc((size_t)nm * sizeof(i64));
+    i64 *q7_open = (i64 *)xmalloc((size_t)nm * sizeof(i64));
+    i64 *q6_open = (i64 *)xmalloc((size_t)nm * sizeof(i64));
+    for (i32 d = 0; d < nm; d++) perf_open[d] = q7_open[d] = q6_open[d] = -1;
+
+    for (i64 T0 = 0; T0 < L || T0 == 0; T0 += TS) {
+        i64 T1 = T0 + TS < L ? T0 + TS : L;
+        i64 base = T0 - HB;
+        for (int i = 0; i < 5; i++) atag[i] = -1;
+
+        for (i64 shift = shift_lo; shift <= maxs; shift++) {
+            int slot = (int)(shift % 5);
+            uint8_t *restrict eb = ebuf[slot];
+            /* eq bytes for [glo, ghi) at offset `base`; zero elsewhere */
+            i64 glo = base < 0 ? 0 : base;
+            i64 ghi = T1 + HF < L ? T1 + HF : L;
+            if (glo > base) memset(eb, 0, (size_t)(glo - base));
+            memset(eb + (ghi - base), 0, (size_t)(T1 + HF + 8 - ghi));
+            eq_fill(c, shift, glo, ghi - glo, eb + (glo - base));
+#define EQ(g) (eb[(g) - base])
+
+            /* anchors intersecting [T0, T1+8): candidate 3-runs expanded
+             * with closure + length rules (parse_anchored_shiftxor.cpp:
+             * 20-56).  Exact tile restriction: a qualifying run has
+             * len < 2*shift, so any run marking [T0, T1+8) starts after
+             * T0 - 2*shift and closes before T1 + 8 + 2*shift; longer
+             * runs are disqualified the moment the scan proves len >=
+             * 2*shift, and a run still open at scan_end either lies
+             * beyond the marking range or is disqualified by length. */
+            uint8_t *restrict ab = abuf[slot];
+            memset(ab, 0, TBUF);
+            atag[slot] = shift;
             i64 hi = L - shift;
-            i64 p = 0;
-            while (p < L) {
-                p = next_set_byte(r3, p, L);
-                if (p >= L) break;
-                i64 s = p;
-                while (s > 0 && eb[s - 1]) s--;
-                i64 e = p + 3;
-                while (e < L && eb[e]) e++;
-                if (s < hi && e < hi) {
+            if (hi > 0) {
+                i64 a = T0, b = T1 + 8;
+                i64 rlo = a - 2 * shift; if (rlo < 0) rlo = 0;
+                i64 scan_end = b + 2 * shift; if (scan_end > hi) scan_end = hi;
+                for (i64 g = rlo; g < scan_end; g++)
+                    r3b[g - base] = EQ(g) & EQ(g + 1) & EQ(g + 2);
+                i64 p = rlo;
+                if (rlo > 0 && EQ(rlo - 1)) {     /* skip straddled run */
+                    while (p < scan_end && EQ(p)) p++;
+                }
+                while (p < scan_end) {
+                    i64 pl = next_set_byte(r3b, p - base, scan_end - base);
+                    if (pl >= scan_end - base) break;
+                    p = pl + base;
+                    i64 s = p;
+                    while (s > 0 && EQ(s - 1)) s--;
+                    i64 e = p + 3;
+                    while (e < scan_end && EQ(e)) e++;
+                    if (e >= scan_end) break;     /* hit hi (dropped) or
+                                                   * past relevance */
                     i64 len = e - s;
-                    if (len >= ANCHOR_SIZE && len < 2 * shift)
-                        memset(abuf[slot] + s, 1, (size_t)len);
+                    if (len >= ANCHOR_SIZE && len < 2 * shift) {
+                        i64 ms = s > a ? s : a;
+                        i64 me = e < b ? e : b;
+                        if (me > ms)
+                            memset(ab + (ms - T0), 1, (size_t)(me - ms));
+                    }
+                    p = e + 1;
                 }
-                p = e + 1;
             }
-        }
 
-        i64 m = shift - 2;
-        if (m < t->m_lo || m > t->m_hi) continue;
-        i32 didx = (i32)(m - c->min_motif);
-        int mslot = (int)(m % 5);
-        const uint8_t *restrict eb = ebuf[mslot];
+            i64 m = shift - 2;
+            if (m < t->m_lo || m > t->m_hi) {
+#undef EQ
+                continue;
+            }
+#undef EQ
+            i32 didx = (i32)(m - c->min_motif);
+            const uint8_t *restrict ebm = ebuf[m % 5];
+#define EQM(g) (ebm[(g) - base])
 
-        /* perfect runs of eq & ~N with len >= min branch cutoff (>= 6):
-         * candidate 6-runs expanded (parse_perfect_shiftxor.cpp:146-226) */
-        i64 cutoff = m <= 6 ? 12 - m : m;
-        {
-            for (i64 p = 0; p < L; p++) pm[p] = eb[p] & !c->nmask[p];
-            uint8_t *restrict r2 = t2, *restrict r4 = t4, *restrict r6 = t8;
-            for (i64 p = 0; p < L + 8; p++) r2[p] = pm[p] & pm[p + 1];
-            for (i64 p = 0; p < L + 4; p++) r4[p] = r2[p] & r2[p + 2];
-            for (i64 p = 0; p < L; p++) r6[p] = r4[p] & r2[p + 4];
-            i64 p = 0;
-            while (p < L) {
-                p = next_set_byte(r6, p, L);
-                if (p >= L) break;
-                i64 s = p;
-                while (s > 0 && pm[s - 1]) s--;
-                i64 e = p + 6;
-                while (e < L && pm[e]) e++;
-                if (e - s >= cutoff) {
-                    iv_push(&c->perf_s[didx], s);
-                    iv_push(&c->perf_e[didx], e);
+            /* perfect runs of eq & ~N with len >= min branch cutoff
+             * (>= 6): candidate 6-runs + cross-tile carry
+             * (parse_perfect_shiftxor.cpp:146-226) */
+            i64 cutoff = m <= 6 ? 12 - m : m;
+            {
+                i64 P1 = T1 + 8 < L ? T1 + 8 : L;
+                uint8_t *restrict pm = pmb + 1;
+                pmb[0] = 0;
+                for (i64 g = T0; g < P1; g++)
+                    pm[g - T0] = EQM(g) & !c->nmask[g];
+                memset(pm + (P1 - T0), 0, (size_t)(T1 + 8 - P1 + 8));
+#define PM(g) (pm[(g) - T0])
+                i64 j = T0;
+                i64 open = perf_open[didx];
+                if (open >= 0) {
+                    while (j < T1 && PM(j)) j++;
+                    if (j < T1 || T1 == L || !PM(T1)) {
+                        if (j - open >= cutoff) {
+                            iv_push(&c->perf_s[didx], open);
+                            iv_push(&c->perf_e[didx], j);
+                        }
+                        perf_open[didx] = -1;
+                    }
+                    /* else: run spans the whole tile; stays open */
                 }
-                p = e + 1;
+                if (perf_open[didx] < 0) {
+                    for (i64 g = j; g < T1; g++)
+                        r6b[g - T0] = PM(g) & PM(g + 1) & PM(g + 2)
+                                      & PM(g + 3) & PM(g + 4) & PM(g + 5);
+                    i64 p = j;
+                    while (p < T1) {
+                        i64 pl = next_set_byte(r6b, p - T0, T1 - T0);
+                        if (pl >= T1 - T0) break;
+                        p = pl + T0;
+                        i64 s = p;
+                        while (s > 0 && PM(s - 1)) s--;   /* guard stops at T0 */
+                        i64 e = p + 6;
+                        while (e < T1 && PM(e)) e++;
+                        if (e == T1 && T1 < L && PM(T1)) {
+                            perf_open[didx] = s;          /* crosses the tile */
+                            break;
+                        }
+                        if (e - s >= cutoff) {
+                            iv_push(&c->perf_s[didx], s);
+                            iv_push(&c->perf_e[didx], e);
+                        }
+                        p = e + 1;
+                    }
+                }
+#undef PM
             }
-        }
 
-        /* substitution windows over raw eq (threshold 7) */
-        if (nw > 0) {
-            win8_sums(eb, t2, t4, t8, L);
-            for (i64 w = 0; w < nw; w++)
-                qb[w] = (t8[w] >= 7) & (n8[w] == 0);
-            byte_runs_skip(qb, nw, &c->q7_s[didx], &c->q7_e[didx]);
-        }
-
-        /* anchored windows over the overlay (threshold 6,
-         * fasta_utils.cpp:145-165) */
-        memcpy(obuf, eb, (size_t)L);
-        i64 lo = m > 2 ? m - 2 : 1;
-        for (i64 i = lo; i <= m + 2; i++) {
-            if (i == m) continue;
-            int nslot = (int)(i % 5);
-            if (atag[nslot] == i) {
-                const uint8_t *restrict ab = abuf[nslot];
-                uint8_t *restrict ob = obuf;
-                for (i64 p = 0; p < L; p++) ob[p] |= ab[p];
+            /* substitution windows over raw eq (threshold 7) */
+            if (nw > 0 && T0 < nw) {
+                i64 W1 = T1 < nw ? T1 : nw;
+                win8_sums(ebm + (T0 - base), t8b, t8b, t8b, W1 - T0);
+                for (i64 w = 0; w < W1 - T0; w++)
+                    qbb[w] = (t8b[w] >= 7) & (n8[T0 + w] == 0);
+                tile_byte_runs(qbb, T0, W1, nw, &q7_open[didx],
+                               &c->q7_s[didx], &c->q7_e[didx]);
             }
-        }
-        if (nw > 0) {
-            win8_sums(obuf, t2, t4, t8, L);
-            for (i64 w = 0; w < nw; w++)
-                qb[w] = (t8[w] >= 6) & (n8[w] == 0);
-            byte_runs_skip(qb, nw, &c->q6_s[didx], &c->q6_e[didx]);
-        }
 
-        /* pack the overlay for O(range/64) popcount / longest-run queries
-         * (the lattices' retain rules, refinement's continuous-ones guard) */
-        if (c->ov_pack) {
-            uint64_t *dst = c->ov_pack[didx];
-            i64 wi = 0;
+            /* anchored windows over the overlay (threshold 6,
+             * fasta_utils.cpp:145-165) */
+            {
+                i64 O1 = T1 + 7;
+                memcpy(obb, ebm + (T0 - base), (size_t)(O1 - T0));
+                i64 nlo = m > 2 ? m - 2 : 1;
+                for (i64 i2 = nlo; i2 <= m + 2; i2++) {
+                    if (i2 == m) continue;
+                    int nslot = (int)(i2 % 5);
+                    if (atag[nslot] == i2) {
+                        const uint8_t *restrict ab2 = abuf[nslot];
+                        uint8_t *restrict ob = obb;
+                        for (i64 k = 0; k < O1 - T0; k++) ob[k] |= ab2[k];
+                    }
+                }
+                if (nw > 0 && T0 < nw) {
+                    i64 W1 = T1 < nw ? T1 : nw;
+                    win8_sums(obb, t8b, t8b, t8b, W1 - T0);
+                    for (i64 w = 0; w < W1 - T0; w++)
+                        qbb[w] = (t8b[w] >= 6) & (n8[T0 + w] == 0);
+                    tile_byte_runs(qbb, T0, W1, nw, &q6_open[didx],
+                                   &c->q6_s[didx], &c->q6_e[didx]);
+                }
+
+                /* pack the overlay for O(range/64) popcount / longest-run
+                 * queries (lattice retain rules, refinement's
+                 * continuous-ones guard) */
+                if (c->ov_pack) {
+                    uint64_t *dst = c->ov_pack[didx];
+                    i64 wi = T0 >> 6;
+                    i64 wend = (T1 + 63) >> 6;
 #ifdef __AVX2__
-            for (; (wi + 1) << 6 <= L; wi++) {
-                const uint8_t *src = obuf + (wi << 6);
-                __m256i z = _mm256_setzero_si256();
-                __m256i a = _mm256_loadu_si256((const __m256i *)src);
-                __m256i b = _mm256_loadu_si256((const __m256i *)(src + 32));
-                uint32_t lo = (uint32_t)_mm256_movemask_epi8(
-                    _mm256_cmpgt_epi8(a, z));
-                uint32_t hi = (uint32_t)_mm256_movemask_epi8(
-                    _mm256_cmpgt_epi8(b, z));
-                dst[wi] = (uint64_t)lo | ((uint64_t)hi << 32);
-            }
+                    for (; (wi + 1) << 6 <= T1; wi++) {
+                        const uint8_t *src = obb + ((wi << 6) - T0);
+                        __m256i z = _mm256_setzero_si256();
+                        __m256i va = _mm256_loadu_si256((const __m256i *)src);
+                        __m256i vb = _mm256_loadu_si256(
+                            (const __m256i *)(src + 32));
+                        uint32_t wlo = (uint32_t)_mm256_movemask_epi8(
+                            _mm256_cmpgt_epi8(va, z));
+                        uint32_t whi = (uint32_t)_mm256_movemask_epi8(
+                            _mm256_cmpgt_epi8(vb, z));
+                        dst[wi] = (uint64_t)wlo | ((uint64_t)whi << 32);
+                    }
 #endif
-            for (; wi < c->ov_words; wi++) {
-                uint64_t word = 0;
-                i64 base = wi << 6;
-                i64 lim = L - base < 64 ? L - base : 64;
-                for (i64 bit = 0; bit < lim; bit++)
-                    word |= (uint64_t)(obuf[base + bit] & 1) << bit;
-                dst[wi] = word;
+                    for (; wi < wend; wi++) {
+                        i64 gb = wi << 6;
+                        i64 lim = T1 - gb < 64 ? T1 - gb : 64;
+                        uint64_t word = 0;
+                        for (i64 bit = 0; bit < lim; bit++)
+                            word |= (uint64_t)(obb[gb - T0 + bit] & 1) << bit;
+                        dst[wi] = word;
+                    }
+                }
             }
+#undef EQM
         }
+        if (L == 0) break;
     }
 
     for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
-    free(obuf); free(pm); free(t2); free(t4); free(t8); free(qb);
+    free(r3b); free(pmb); free(r6b); free(obb); free(t8b); free(qbb);
+    free(perf_open); free(q7_open); free(q6_open);
     return NULL;
 }
 

@@ -117,10 +117,11 @@ def build_case(mode, it, seed, tmp):
         nrec = rng.randint(1, 3)
         recs = []
         for c in range(nrec):
+            mmin = rng.choice([2, 2, 2, 5, 11])
             sim = simulate(num_loci=rng.randint(4, 25),
                            seed=rng.randrange(1 << 30),
-                           min_motif=rng.choice([2, 2, 2, 5, 11]),
-                           max_motif=rng.choice([10, 40, 100, 100]),
+                           min_motif=mmin,
+                           max_motif=max(mmin, rng.choice([10, 40, 100, 100])),
                            min_purity=rng.choice([0.80, 0.85, 0.90]),
                            max_purity=rng.choice([0.95, 0.98, 1.0]),
                            n_block_rate=rng.choice([0.0, 0.2, 0.5]),
