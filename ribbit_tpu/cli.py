@@ -46,8 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perfect-units", default=None,
                    help="minimum perfect units: integer or TSV")
     p.add_argument("--backend", choices=["host", "tpu"], default="host",
-                   help="scan backend (default host numpy; tpu uses "
-                        "JAX/Pallas kernels)")
+                   help="compute backend (default host). 'tpu' runs the "
+                        "device event-extraction scan AND device-batched "
+                        "alignment refinement through the JAX/Pallas "
+                        "kernels; output stays byte-identical")
     p.add_argument("--stderr-output", action="store_true",
                    help="mirror the reference quirk of writing results to "
                         "stderr when no -o is given")
@@ -62,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with -o: keep a per-contig completion manifest "
                         "(<out>.manifest.json) and skip already-finished "
                         "contigs on restart")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host mode: jax.distributed coordinator "
+                        "address; run one ribbit-tpu per host with the same "
+                        "flags plus a distinct --process-id. Only process 0 "
+                        "writes output")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="multi-host mode: total process count")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="multi-host mode: this process's id (0-based)")
     p.add_argument("--chunk-size", type=int, default=None, metavar="BP",
                    help="split contigs longer than 1.5x this many bp at "
                         "big-N-run midpoints and process chunks in "
@@ -97,6 +108,13 @@ def main(argv=None) -> int:
         min_units=_maybe_int(args.min_units),
         perfect_units=_maybe_int(args.perfect_units),
     )
+
+    if args.coordinator is not None:
+        if args.resume:
+            print("ribbit-tpu: --resume is not supported with --coordinator",
+                  file=sys.stderr)
+            return 2
+        return _main_multihost(args, cfg)
 
     # resume manifest must be consulted BEFORE the output file is opened
     # (mode "w" would truncate the partial results being resumed)
@@ -173,6 +191,56 @@ def main(argv=None) -> int:
 
     if args.output_file:
         out.close()
+    return 0
+
+
+def _main_multihost(args, cfg) -> int:
+    """Multi-host driver: all processes read the same FASTA, cooperate per
+    contig over the global device mesh, process 0 writes the output.
+    See parallel/multihost.py for the design."""
+    import jax
+
+    from .parallel.multihost import ensure_initialized, multihost_process_contig
+
+    ensure_initialized(args.coordinator, args.num_processes, args.process_id)
+    is_main = jax.process_index() == 0
+
+    if is_main:
+        if args.output_file:
+            out = open(args.output_file, "w")
+        elif args.stderr_output:
+            out = sys.stderr
+        else:
+            out = sys.stdout
+        print(f"Minimum motif:\t{cfg.min_motif}", file=sys.stderr)
+        print(f"Maximum motif:\t{cfg.max_motif}", file=sys.stderr)
+        print("Purity threshold: 0.85", file=sys.stderr)
+    else:
+        out = None
+
+    chunk_size = args.chunk_size or (8 << 20)
+    t0 = time.time()
+    total = 0
+    for name, seq in read_fasta(args.input_file):
+        if is_main:
+            print(f"Processing sequence {name}", file=sys.stderr)
+        total += len(seq)
+        lines = multihost_process_contig(name, seq, cfg,
+                                         chunk_size=chunk_size,
+                                         workers=args.workers,
+                                         timing=args.timing)
+        if is_main:
+            for line in lines:
+                out.write(line + "\n")
+            out.flush()
+    elapsed = time.time() - t0
+    if is_main:
+        print(f"Done: {total} bp in {elapsed:.2f}s "
+              f"({total / max(elapsed, 1e-9) / 1e6:.3f} Mbp/s) "
+              f"[{jax.process_count()} processes, "
+              f"{jax.device_count()} devices]", file=sys.stderr)
+        if args.output_file:
+            out.close()
     return 0
 
 

@@ -78,18 +78,22 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
                 perf, q7, q6 = scan_events(code, n_mask, cfg)
                 sess.set_events(perf, q7, q6)
             except OverflowError:
-                # device event capacity exceeded (extremely repeat-dense
-                # input): fall back to native host generation
-                print("ribbit-tpu: device event capacity exceeded for "
-                      f"{sequence_id}; using host generation",
+                # capacity autotune failed to converge (should not happen);
+                # fall back to native host generation rather than fail
+                print("ribbit-tpu: device event capacity autotune failed "
+                      f"for {sequence_id}; using host generation",
                       file=sys.stderr)
         seeds = sess.scan()
 
-        if os.environ.get("RIBBIT_BATCHED_REFINE"):
-            # experimental: batched alignment scoring through the Pallas
-            # kernel (align_pallas), traceback on host; exact output
+        batched = os.environ.get("RIBBIT_BATCHED_REFINE")
+        if scan_backend == "tpu" or batched:
+            # device-batched refinement: alignment scoring batched through
+            # the Pallas kernel (align_pallas), traceback on host; output
+            # is exactly the sequential path's (oracle-parity tested)
             from .refine_batched import refine_batched
-            interp = os.environ.get("RIBBIT_BATCHED_REFINE") == "interpret"
+            import jax
+            interp = (batched == "interpret"
+                      or jax.default_backend() == "cpu")
             for line in refine_batched(seeds, sequence, sequence_id, code,
                                        n_mask, sess, cfg, interpret=interp):
                 emit(line)

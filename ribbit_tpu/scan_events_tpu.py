@@ -13,8 +13,10 @@ C consumers (csrc/ribbit_core.c) replay:
 
 Everything is fixed-shape prefix/suffix scans + one nonzero compaction per
 stream; events transfer as ~int32-sized arrays (MBs) instead of the
-O(NSHIFTS*L) bitmaps (GBs at genome scale).  Overflowing a capacity returns
-counts > cap and the caller falls back to host generation for that sequence.
+O(NSHIFTS*L) bitmaps (GBs at genome scale).  Compaction capacities
+autotune: the kernel reports true counts even past the cap, so overflow
+retries with exactly-sized caps and the learned sizes persist per length
+bucket (see scan_events).
 """
 
 from __future__ import annotations
@@ -134,10 +136,27 @@ def _to_host(group, nmotifs):
     return s, e, offsets
 
 
+# learned event capacities per padded length: an overflow on one sequence
+# trains the caps for every later sequence of that bucket (repeat-dense
+# genomes stay on the device path instead of falling back to the host)
+_learned_caps: dict = {}
+
+
+def _next_cap(count: int) -> int:
+    """Power-of-two >= 1.25*count (pow2 rounding bounds recompilations)."""
+    need = max(int(count * 1.25), 1 << 14)
+    return 1 << (need - 1).bit_length()
+
+
 def scan_events(code: np.ndarray, n_mask: np.ndarray, cfg: RibbitConfig):
     """Device scan -> ((perf_s, perf_e, perf_off), (q7...), (q6...)) for
-    CoreSession.set_events.  Raises OverflowError when a capacity is
-    exceeded (caller falls back to host generation)."""
+    CoreSession.set_events.
+
+    Capacities autotune: the kernel returns true event counts even when
+    they exceed the compaction capacity, so an overflowing attempt is
+    retried with exactly-sized (pow2-rounded) caps and the learned sizes
+    persist for subsequent sequences.  Raises OverflowError only if growth
+    fails to converge (caller falls back to host generation)."""
     L = code.shape[0]
     Lp = _pad_to_bucket(L)
     code_p = np.zeros(Lp, dtype=np.int8)
@@ -145,15 +164,23 @@ def scan_events(code: np.ndarray, n_mask: np.ndarray, cfg: RibbitConfig):
     n_p = np.ones(Lp, dtype=bool)
     n_p[:L] = n_mask
 
-    cap_p = max(Lp // 8, 1 << 14)
-    cap_q7 = max(Lp // 2, 1 << 14)
-    cap_q6 = max(3 * Lp, 1 << 15)
+    caps = _learned_caps.get(Lp, (max(Lp // 8, 1 << 14),
+                                  max(Lp // 2, 1 << 14),
+                                  max(3 * Lp, 1 << 15)))
 
-    perf, q7, q6 = _event_kernel(
-        jnp.asarray(code_p), jnp.asarray(n_p), jnp.int32(L),
-        min_shift=cfg.min_shift, nshifts=cfg.nshifts,
-        min_motif=cfg.min_motif, max_motif=cfg.max_motif,
-        cap_p=cap_p, cap_q7=cap_q7, cap_q6=cap_q6)
+    code_d, n_d = jnp.asarray(code_p), jnp.asarray(n_p)
+    for _attempt in range(4):
+        perf, q7, q6 = _event_kernel(
+            code_d, n_d, jnp.int32(L),
+            min_shift=cfg.min_shift, nshifts=cfg.nshifts,
+            min_motif=cfg.min_motif, max_motif=cfg.max_motif,
+            cap_p=caps[0], cap_q7=caps[1], cap_q6=caps[2])
+        counts = (int(perf[3]), int(q7[3]), int(q6[3]))
+        if all(c <= cap for c, cap in zip(counts, caps)):
+            break
+        caps = tuple(cap if c <= cap else _next_cap(c)
+                     for c, cap in zip(counts, caps))
+        _learned_caps[Lp] = caps
 
     nm = cfg.nmotifs
     return _to_host(perf, nm), _to_host(q7, nm), _to_host(q6, nm)

@@ -47,6 +47,43 @@ def test_event_kernel_bed_parity(cpu_jax, golden_dir):
     assert lines == expected
 
 
+def test_event_capacity_autotune(cpu_jax):
+    """Undersized event caps must self-heal: scan_events retries with grown
+    capacities (learned per length bucket) instead of falling back."""
+    from ribbit_tpu import scan_events_tpu
+    from ribbit_tpu.scan_tpu import _pad_to_bucket
+    from ribbit_tpu.sim import simulate
+    from ribbit_tpu.encode import encode
+
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=3, seed=33, name="cap")
+    code, n_mask = encode(sim.sequence)
+    Lp = _pad_to_bucket(code.shape[0])
+
+    baseline = scan_events_tpu.scan_events(code, n_mask, cfg)
+
+    saved = dict(scan_events_tpu._learned_caps)
+    try:
+        # poison the bucket with absurdly small caps: every stream overflows
+        scan_events_tpu._learned_caps.clear()
+        scan_events_tpu._learned_caps[Lp] = (64, 64, 64)
+        healed = scan_events_tpu.scan_events(code, n_mask, cfg)
+        grown = scan_events_tpu._learned_caps[Lp]
+        # every stream whose true event count exceeded 64 must have grown
+        counts = [g[0].shape[0] for g in baseline]
+        assert any(g > 64 for g in grown)
+        for n, g in zip(counts, grown):
+            if n > 64:
+                assert g >= n
+    finally:
+        scan_events_tpu._learned_caps.clear()
+        scan_events_tpu._learned_caps.update(saved)
+
+    for grp_a, grp_b in zip(baseline, healed):
+        for a, b in zip(grp_a, grp_b):
+            assert np.array_equal(a, b)
+
+
 def test_entry_compiles(cpu_jax):
     import __graft_entry__
     fn, args = __graft_entry__.entry()

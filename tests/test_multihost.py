@@ -1,0 +1,84 @@
+"""Multi-host distributed execution: two real OS processes, each with its
+own jax.distributed client over a shared coordinator (Gloo collectives on
+CPU), must produce byte-identical output to the single-process paths.
+
+This is the 2-process CPU simulation of the multi-host TPU deployment
+(SURVEY §5 distributed backend; parallel/multihost.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+from ribbit_tpu.sim import simulate
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_genome(path: str) -> None:
+    parts = []
+    for ci in range(4):
+        sim = simulate(num_loci=4, seed=700 + ci, name=f"d{ci}")
+        parts.append(sim.sequence)
+        parts.append("N" * 800)
+    genome = "".join(parts)
+    with open(path, "w") as fh:
+        fh.write(">chr\n")
+        for i in range(0, len(genome), 80):
+            fh.write(genome[i:i + 80] + "\n")
+
+
+def _env(devices: int) -> dict:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    return env
+
+
+def test_two_process_multihost_byte_identical(tmp_path):
+    fa = str(tmp_path / "g.fa")
+    _write_genome(fa)
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        cmd = [sys.executable, "-m", "ribbit_tpu.cli", "-i", fa,
+               "--coordinator", f"localhost:{port}",
+               "--num-processes", "2", "--process-id", str(pid),
+               "--chunk-size", "12000"]
+        if pid == 0:
+            cmd += ["-o", str(tmp_path / "mh.bed")]
+        procs.append(subprocess.Popen(cmd, env=_env(2),
+                                      stdout=subprocess.DEVNULL,
+                                      stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+
+    # single-process chunked reference (same chunk plan)
+    single = subprocess.run(
+        [sys.executable, "-m", "ribbit_tpu.cli", "-i", fa,
+         "-o", str(tmp_path / "single.bed"), "--chunk-size", "12000"],
+        env=_env(8), capture_output=True, timeout=300)
+    assert single.returncode == 0, single.stderr.decode()
+
+    mh = (tmp_path / "mh.bed").read_bytes()
+    ref = (tmp_path / "single.bed").read_bytes()
+    assert mh == ref
+    assert len(mh) > 0
+
+    # and vs the bit-exact whole-contig path (this fixture does not trigger
+    # the positional-vote quirk, so chunked == whole here)
+    whole = subprocess.run(
+        [sys.executable, "-m", "ribbit_tpu.cli", "-i", fa,
+         "-o", str(tmp_path / "whole.bed")],
+        env=_env(1), capture_output=True, timeout=300)
+    assert whole.returncode == 0, whole.stderr.decode()
+    assert mh == (tmp_path / "whole.bed").read_bytes()
