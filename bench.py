@@ -6,8 +6,11 @@ timed on the same input in the same process environment; vs_baseline is the
 throughput ratio (ours / reference).  Prints ONE JSON line.
 
 Env knobs:
-  RIBBIT_BENCH_LOCI     locus count for the simulated genome (default 120)
-  RIBBIT_BENCH_BACKEND  'host' | 'tpu' scan backend (default host)
+  RIBBIT_BENCH_LOCI      locus count for the simulated genome (default 120)
+  RIBBIT_BENCH_BACKEND   'host' | 'tpu' scan backend (default host)
+  RIBBIT_BENCH_CHROM_MB  chromosome-scale fixture size (default 21.4; 0 = skip)
+  RIBBIT_BENCH_REF       force a fresh oracle timing run on the chrom fixture
+                         (otherwise the cached /tmp timing+output are reused)
 """
 
 import json
@@ -84,6 +87,57 @@ def main() -> None:
                                   "error": "parity_mismatch"}))
                 return
 
+    # --- chromosome-scale workload (single 21.4 Mb chromosome-like contig:
+    # repeats + random + 10% N gaps, same recipe as tools/capstone.py).
+    # The small fixture above catches the reference at its slowest
+    # (~0.10 Mbp/s); at scale it runs 0.20-0.28 Mbp/s, so the at-scale
+    # ratio must be measured at scale.  Parity gate: ordered byte-exact. ---
+    chrom = {}
+    chrom_mb = float(os.environ.get("RIBBIT_BENCH_CHROM_MB", "21.4"))
+    if chrom_mb > 0 and os.path.exists(oracle):
+        cfa = f"/tmp/ribbit_bench_chrom_{chrom_mb:g}.fa"
+        if not os.path.exists(cfa):
+            # ~2660 bp/locus measured with n_block_rate=0.1 (includes
+            # inter-locus random sequence and N gaps)
+            sim = simulate(num_loci=int(chrom_mb * 1e6) // 2660, seed=38,
+                           n_block_rate=0.1, name="chr1")
+            with open(cfa + ".tmp", "w") as fh:
+                fh.write(">chr1\n")
+                for i in range(0, len(sim.sequence), 80):
+                    fh.write(sim.sequence[i:i + 80] + "\n")
+            os.replace(cfa + ".tmp", cfa)
+        cbp = sum(len(l.strip()) for l in open(cfa) if not l.startswith(">"))
+
+        t0 = time.perf_counter()
+        clines = process_fasta(cfa, cfg, scan_backend=backend)
+        c_ours_s = time.perf_counter() - t0
+
+        # oracle output is cached beside the fixture (deterministic input)
+        cref = cfa + ".oracle.bed"
+        c_ref_s = None
+        if not os.path.exists(cref) or os.environ.get("RIBBIT_BENCH_REF"):
+            t0 = time.perf_counter()
+            res = subprocess.run([oracle, "-i", cfa, "-o", cref + ".tmp"],
+                                 capture_output=True)
+            c_ref_s = time.perf_counter() - t0
+            if res.returncode == 0:
+                os.replace(cref + ".tmp", cref)
+                with open(cfa + ".oracle.secs", "w") as fh:
+                    fh.write(str(c_ref_s))
+        elif os.path.exists(cfa + ".oracle.secs"):
+            c_ref_s = float(open(cfa + ".oracle.secs").read())
+
+        if os.path.exists(cref):
+            if clines != open(cref).read().splitlines():
+                print(json.dumps({"metric": "e2e_throughput", "value": 0.0,
+                                  "unit": "Mbp/s", "vs_baseline": 0.0,
+                                  "error": "chrom_parity_mismatch"}))
+                return
+            chrom = {"chrom_mb": round(cbp / 1e6, 2),
+                     "chrom_mbps": round(cbp / 1e6 / c_ours_s, 4)}
+            if c_ref_s:
+                chrom["chrom_vs_baseline"] = round(c_ref_s / c_ours_s, 4)
+
     # --- on-device TPU kernel throughput (device-resident data; no
     # host<->device transfers in the timed region) ---
     device = {}
@@ -98,6 +152,7 @@ def main() -> None:
                       "value": round(ours_mbps, 4),
                       "unit": "Mbp/s",
                       "vs_baseline": vs_baseline,
+                      **chrom,
                       **device}))
 
 
