@@ -68,6 +68,47 @@ static inline i64 match_count(const int8_t *a, const int8_t *b,
 #endif
 }
 
+/* all five jitter counts of one greedy step in a single sweep: the row
+ * window loads once per block instead of five times and the call/loop
+ * bookkeeping is shared.  Requires a common lim for all five bases
+ * (the interior-step fast path; boundary steps fall back per-x). */
+static inline void match_count5(const int8_t *a, const int8_t *b0,
+                                const uint8_t *nn0, i64 lim, i64 out[5]) {
+#ifdef __AVX512BW__
+    i64 c0 = 0, c1 = 0, c2 = 0, c3 = 0, c4 = 0;
+    i64 i = 0;
+    for (; i + 64 <= lim; i += 64) {
+        __m512i av = _mm512_loadu_si512((const void *)(a + i));
+#define STEP5(x, acc) do { \
+        __mmask64 eq = _mm512_cmpeq_epi8_mask(av, \
+            _mm512_loadu_si512((const void *)(b0 + (x) - 2 + i))); \
+        __mmask64 nn = _mm512_cmpeq_epi8_mask( \
+            _mm512_loadu_si512((const void *)(nn0 + (x) - 2 + i)), \
+            _mm512_setzero_si512()); \
+        acc += (i64)__builtin_popcountll(eq & nn); } while (0)
+        STEP5(0, c0); STEP5(1, c1); STEP5(2, c2); STEP5(3, c3); STEP5(4, c4);
+#undef STEP5
+    }
+    if (i < lim) {
+        __mmask64 tail = (~0ULL) >> (64 - (lim - i));
+        __m512i av = _mm512_maskz_loadu_epi8(tail, (const void *)(a + i));
+#define TAIL5(x, acc) do { \
+        __mmask64 eq = _mm512_mask_cmpeq_epi8_mask(tail, av, \
+            _mm512_maskz_loadu_epi8(tail, (const void *)(b0 + (x) - 2 + i))); \
+        __mmask64 nn = _mm512_mask_cmpeq_epi8_mask(tail, \
+            _mm512_maskz_loadu_epi8(tail, (const void *)(nn0 + (x) - 2 + i)), \
+            _mm512_setzero_si512()); \
+        acc += (i64)__builtin_popcountll(eq & nn); } while (0)
+        TAIL5(0, c0); TAIL5(1, c1); TAIL5(2, c2); TAIL5(3, c3); TAIL5(4, c4);
+#undef TAIL5
+    }
+    out[0] = c0; out[1] = c1; out[2] = c2; out[3] = c3; out[4] = c4;
+#else
+    for (int x = 0; x < 5; x++)
+        out[x] = match_count(a, b0 + x - 2, nn0 + x - 2, lim);
+#endif
+}
+
 int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
                            int32_t total_len, int32_t seed_start,
                            int32_t seed_sequence_length, int32_t m) {
@@ -82,35 +123,84 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
         const int8_t *restrict rowp = code + row;
         i64 row_lim = L - row;              /* rows beyond L end the scan */
 
+        /* exact remaining-vote bound for early row abort: every greedy
+         * step contributes at most min(M, row_lim) and moves the cursor
+         * by at least M-2 (jitter >= -2, M >= 11 here), so once
+         * row_count + bound(remaining) <= max_count this row can no
+         * longer STRICTLY beat the running winner and the rest of its
+         * walk is dead work.  Upstream + prefix potential is a constant
+         * per row; downstream potential shrinks as the walk advances. */
+        i64 step_cap = row_lim < M ? row_lim : M;
+        i64 adv = M - 2 > 1 ? M - 2 : 1;    /* min cursor advance per step */
+        i64 u0 = row - M;
+        i64 upot = (u0 > seed_start
+                        ? ((u0 - seed_start - 1) / adv + 1) : 0)
+                   * step_cap + M;          /* + M covers the prefix vote */
+
         i64 dstream = row + M;
         while (dstream < seed_end) {
+            if (max_count > row_count + upot +
+                    ((seed_end - dstream + adv - 1) / adv) * step_cap) {
+                row_count = -1;             /* provably can't win */
+                break;
+            }
             i64 max_di = -2, max_dc = 0;
-            for (i64 x = -2; x <= 2; x++) {
-                i64 base = dstream + x;
-                i64 lim = min3(M, seed_end - base, L - base);
-                if (row_lim < lim) lim = row_lim;
-                i64 dc = lim > 0
-                    ? match_count(rowp, code + base, n_mask + base, lim) : 0;
-                if (dc > max_dc) { max_dc = dc; max_di = x; }
+            /* interior fast path: all five bases share lim */
+            i64 lim_c = step_cap;
+            if (seed_end - (dstream + 2) >= lim_c &&
+                L - (dstream + 2) >= lim_c && lim_c > 0) {
+                i64 dc5[5];
+                match_count5(rowp, code + dstream, n_mask + dstream,
+                             lim_c, dc5);
+                for (int x = 0; x < 5; x++)
+                    if (dc5[x] > max_dc) { max_dc = dc5[x]; max_di = x - 2; }
+            } else {
+                for (i64 x = -2; x <= 2; x++) {
+                    i64 base = dstream + x;
+                    i64 lim = min3(M, seed_end - base, L - base);
+                    if (row_lim < lim) lim = row_lim;
+                    i64 dc = lim > 0
+                        ? match_count(rowp, code + base, n_mask + base, lim)
+                        : 0;
+                    if (dc > max_dc) { max_dc = dc; max_di = x; }
+                }
             }
             row_count += max_dc;
             dstream += max_di + M;
         }
+        if (row_count < 0) continue;
 
         i64 ustream = row - M;
         while (ustream > seed_start) {
+            if (max_count > row_count +
+                    ((ustream - seed_start - 1) / adv + 1) * step_cap
+                    + M) {
+                row_count = -1;
+                break;
+            }
             i64 max_di = -2, max_dc = 0;
-            for (i64 x = -2; x <= 2; x++) {
-                i64 base = ustream + x;
-                /* the scalar breaks at the first col < 0, which is i == 0 */
-                i64 lim = base < 0 ? 0 : min3(M, L - base, row_lim);
-                i64 dc = lim > 0
-                    ? match_count(rowp, code + base, n_mask + base, lim) : 0;
-                if (dc > max_dc) { max_dc = dc; max_di = x; }
+            i64 lim_c = step_cap;
+            if (ustream - 2 >= 0 && L - (ustream + 2) >= lim_c && lim_c > 0) {
+                i64 dc5[5];
+                match_count5(rowp, code + ustream, n_mask + ustream,
+                             lim_c, dc5);
+                for (int x = 0; x < 5; x++)
+                    if (dc5[x] > max_dc) { max_dc = dc5[x]; max_di = x - 2; }
+            } else {
+                for (i64 x = -2; x <= 2; x++) {
+                    i64 base = ustream + x;
+                    /* the scalar breaks at the first col < 0: i == 0 */
+                    i64 lim = base < 0 ? 0 : min3(M, L - base, row_lim);
+                    i64 dc = lim > 0
+                        ? match_count(rowp, code + base, n_mask + base, lim)
+                        : 0;
+                    if (dc > max_dc) { max_dc = dc; max_di = x; }
+                }
             }
             row_count += max_dc;
             ustream += max_di - M;
         }
+        if (row_count < 0) continue;
 
         if (ustream < seed_start && seed_start - ustream < M) {
             i64 initial_lastrow = row + M - 1;
