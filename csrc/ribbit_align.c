@@ -152,6 +152,153 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
 }
 #endif  /* __AVX512BW__ */
 
+#ifdef __AVX512BW__
+/* Fused single-sweep forward pass: one blockwise traversal per column
+ * computes h0, the F prefix-max, Hn/E and the column max together in
+ * 32-lane i16 vectors, instead of three separate array passes.  Valid
+ * when every intermediate provably fits i16: H <= 2*min(R,C) (max local
+ * score) and A = h0 + j*GAP_E <= 2*min(R,C) + R.  The saturating i16
+ * add IS the WORD_MAX clamp.  Returns the best score; *end_ref / *end_read
+ * get the first best column and the first row attaining it there (the
+ * tie rules of align.py:_forward_pass).  H16/E16 live in the caller's
+ * i32 scratch reinterpreted. */
+static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
+                                      const int8_t *ref, int32_t C,
+                                      int32_t terminate,
+                                      int32_t *H32, int32_t *E32,
+                                      int32_t *end_ref, int32_t *end_read) {
+    int32_t Rp = (R + 31) & ~31;
+    int32_t nb = Rp / 32;
+    /* H gets a 32-lane zero guard in front so the j-1 shifted read is one
+     * unaligned load (H[-1] == 0); caller buffers hold 4R bytes each and
+     * R >= 64 here, so 2*(Rp+32) fits */
+    int16_t *H = (int16_t *)H32 + 32;
+    int16_t *E = (int16_t *)E32;
+    memset((int16_t *)H32, 0, (size_t)(Rp + 32) * sizeof(int16_t));
+    memset(E, 0, (size_t)Rp * sizeof(int16_t));
+    /* per-column scratch: local-prefix vectors + h0 (heap, reused) */
+    int16_t *pbuf = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
+    int16_t *h0buf = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
+    int16_t *carry = (int16_t *)malloc(((size_t)nb + 1) * sizeof(int16_t));
+    int16_t *srows = (int16_t *)malloc((size_t)5 * Rp * sizeof(int16_t));
+    for (int32_t c = 0; c < 5; c++) {
+        int16_t *restrict sr = srows + (size_t)c * Rp;
+        for (int32_t j = 0; j < R; j++)
+            sr[j] = ((c == read[j]) & (c < 4)) ? 2 : -2;
+        for (int32_t j = R; j < Rp; j++) sr[j] = -2;
+    }
+    __mmask32 lastmask = (R & 31) ? ((1u << (R & 31)) - 1) : ~0u;
+
+    /* lane helpers */
+    __m512i lane = _mm512_set_epi16(
+        31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16,
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    __m512i sh1 = _mm512_sub_epi16(lane, _mm512_set1_epi16(1));
+    __m512i sh2 = _mm512_sub_epi16(lane, _mm512_set1_epi16(2));
+    __m512i sh4 = _mm512_sub_epi16(lane, _mm512_set1_epi16(4));
+    __m512i sh8 = _mm512_sub_epi16(lane, _mm512_set1_epi16(8));
+    __m512i sh16 = _mm512_sub_epi16(lane, _mm512_set1_epi16(16));
+    /* result[0] = a[31], result[i>0] = b[i-1] */
+    __m512i shiftidx = _mm512_or_si512(sh1, _mm512_set1_epi16(0x20));
+    shiftidx = _mm512_mask_mov_epi16(shiftidx, 1, _mm512_set1_epi16(31));
+    __m512i gapoe = _mm512_set1_epi16(GAP_O + GAP_E);
+    __m512i gape = _mm512_set1_epi16(GAP_E);
+    __m512i gapo = _mm512_set1_epi16(GAP_O);
+    __m512i two_gape = _mm512_set1_epi16(2 * GAP_E);
+    const int16_t NEGI = -20000;
+    _Static_assert(GAP_E == 1, "je iota assumes unit gap extension");
+
+    int32_t best = 0;
+    *end_ref = -1;
+    *end_read = -1;
+
+    for (int32_t i = 0; i < C; i++) {
+        const int16_t *restrict srow = srows + (size_t)ref[i] * Rp;
+        __m512i colmax_v = _mm512_setzero_si512();
+        __m512i je = lane;                              /* GAP_E == 1 */
+        /* phase A (blocks independent -> superscalar): h0 and the local
+         * prefix max of A = h0 + j*GAP_E (A >= 0, so the zero-filled
+         * lane slides are exact) */
+        for (int32_t b = 0; b < nb; b++) {
+            __m512i shifted = _mm512_loadu_si512((const void *)(H + b * 32 - 1));
+            __m512i Ev = _mm512_loadu_si512((const void *)(E + b * 32));
+            __m512i h0 = _mm512_adds_epi16(
+                shifted, _mm512_loadu_si512((const void *)(srow + b * 32)));
+            h0 = _mm512_max_epi16(h0, Ev);
+            h0 = _mm512_max_epi16(h0, _mm512_setzero_si512());
+            _mm512_storeu_si512((void *)(h0buf + b * 32), h0);
+            __m512i p = _mm512_add_epi16(h0, je);
+            p = _mm512_max_epi16(p, _mm512_maskz_permutexvar_epi16(
+                                        0xFFFFFFFEu, sh1, p));
+            p = _mm512_max_epi16(p, _mm512_maskz_permutexvar_epi16(
+                                        0xFFFFFFFCu, sh2, p));
+            p = _mm512_max_epi16(p, _mm512_maskz_permutexvar_epi16(
+                                        0xFFFFFFF0u, sh4, p));
+            p = _mm512_max_epi16(p, _mm512_maskz_permutexvar_epi16(
+                                        0xFFFFFF00u, sh8, p));
+            p = _mm512_max_epi16(p, _mm512_maskz_permutexvar_epi16(
+                                        0xFFFF0000u, sh16, p));
+            _mm512_storeu_si512((void *)(pbuf + b * 32), p);
+            je = _mm512_add_epi16(je, _mm512_set1_epi16(32));
+        }
+        /* phase B: exclusive running max of the block maxima */
+        carry[0] = NEGI;
+        for (int32_t b = 0; b < nb; b++) {
+            int16_t bm = pbuf[b * 32 + 31];
+            carry[b + 1] = carry[b] > bm ? carry[b] : bm;
+        }
+        /* phase C (blocks independent): F, Hn, E, column max */
+        je = lane;
+        for (int32_t b = 0; b < nb; b++) {
+            __m512i cb = _mm512_set1_epi16(carry[b]);
+            __m512i p = _mm512_max_epi16(
+                _mm512_loadu_si512((const void *)(pbuf + b * 32)), cb);
+            __m512i pshift = _mm512_permutex2var_epi16(cb, shiftidx, p);
+            __m512i f = _mm512_subs_epi16(
+                _mm512_subs_epi16(pshift, gapoe),
+                _mm512_subs_epi16(je, two_gape));
+            f = _mm512_max_epi16(f, _mm512_setzero_si512());
+            __m512i h0 = _mm512_loadu_si512((const void *)(h0buf + b * 32));
+            __m512i Hn = _mm512_max_epi16(h0, f);
+            __m512i Ev = _mm512_loadu_si512((const void *)(E + b * 32));
+            __m512i En = _mm512_max_epi16(
+                _mm512_subs_epi16(Ev, gape), _mm512_subs_epi16(Hn, gapo));
+            En = _mm512_max_epi16(En, _mm512_setzero_si512());
+            if (b == nb - 1) {
+                Hn = _mm512_maskz_mov_epi16(lastmask, Hn);
+                En = _mm512_maskz_mov_epi16(lastmask, En);
+            }
+            _mm512_storeu_si512((void *)(H + b * 32), Hn);
+            _mm512_storeu_si512((void *)(E + b * 32), En);
+            colmax_v = _mm512_max_epi16(colmax_v, Hn);
+            je = _mm512_add_epi16(je, _mm512_set1_epi16(32));
+        }
+        /* horizontal column max (values >= 0 fit i32 after widening) */
+        __m512i wlo = _mm512_cvtepi16_epi32(
+            _mm512_castsi512_si256(colmax_v));
+        __m512i whi = _mm512_cvtepi16_epi32(
+            _mm512_extracti64x4_epi64(colmax_v, 1));
+        int32_t colmax = _mm512_reduce_max_epi32(_mm512_max_epi32(wlo, whi));
+        if (colmax > best) {
+            best = colmax;
+            *end_ref = i;
+            __m512i cv = _mm512_set1_epi16((int16_t)colmax);
+            for (int32_t b = 0; b < nb; b++) {
+                __mmask32 hit = _mm512_cmpeq_epi16_mask(
+                    _mm512_loadu_si512((const void *)(H + b * 32)), cv);
+                if (hit) {
+                    *end_read = b * 32 + __builtin_ctz(hit);
+                    break;
+                }
+            }
+        }
+        if (terminate >= 0 && colmax == terminate) break;
+    }
+    free(srows); free(pbuf); free(h0buf); free(carry);
+    return best;
+}
+#endif  /* __AVX512BW__ */
+
 static int32_t forward_pass(const int8_t *read, int32_t R,
                             const int8_t *ref, int32_t C,
                             int32_t terminate,
@@ -291,6 +438,27 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
     free(F);
     free(srows);
     return best;
+}
+
+/* forward pass + first-best-row location; picks the fused i16 sweep when
+ * scores provably fit i16 (always for seed-refinement sizes), else the
+ * legacy best-column path */
+static int32_t forward_locate(const int8_t *read, int32_t R,
+                              const int8_t *ref, int32_t C,
+                              int32_t terminate,
+                              int32_t *H, int32_t *E, int32_t *bc,
+                              int32_t *end_ref, int32_t *end_read) {
+#ifdef __AVX512BW__
+    int64_t mn = R < C ? R : C;
+    if (R >= 64 && (int64_t)R + 2 * mn + 64 <= 32000)
+        return forward_pass_i16_fused(read, R, ref, C, terminate, H, E,
+                                      end_ref, end_read);
+#endif
+    int32_t s = forward_pass(read, R, ref, C, terminate, H, E, bc, end_ref);
+    *end_read = -1;
+    for (int32_t j = 0; j < R; j++)
+        if (bc[j] == s) { *end_read = j; break; }
+    return s;
 }
 
 /* Banded affine-gap DP with doubling band width (align.py:banded_sw).
@@ -448,15 +616,14 @@ int ribbit_align(const int8_t *read, int32_t R,
     int32_t *E = (int32_t *)malloc((size_t)R * sizeof(int32_t));
     int32_t *bc = (int32_t *)malloc((size_t)R * sizeof(int32_t));
 
-    int32_t end_ref;
-    int32_t score1 = forward_pass(read, R, ref, C, -1, H, E, bc, &end_ref);
+    int32_t end_ref, end_read;
+    int32_t score1 = forward_locate(read, R, ref, C, -1, H, E, bc,
+                                    &end_ref, &end_read);
     if (end_ref < 0) {
         out[0] = 0; out[2] = -1; out[4] = R - 1;
         free(H); free(E); free(bc);
         return 1;
     }
-    int32_t end_read = -1;
-    for (int32_t j = 0; j < R; j++) if (bc[j] == score1) { end_read = j; break; }
 
     out[0] = score1;
     out[2] = end_ref;
@@ -468,11 +635,10 @@ int ribbit_align(const int8_t *read, int32_t R,
     int8_t *ref_rev = (int8_t *)malloc((size_t)Cr);
     for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
     for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
-    int32_t end_ref_rev;
-    forward_pass(read_rev, Rr, ref_rev, Cr, score1, H, E, bc, &end_ref_rev);
+    int32_t end_ref_rev, rev_read_idx;
+    forward_locate(read_rev, Rr, ref_rev, Cr, score1, H, E, bc,
+                   &end_ref_rev, &rev_read_idx);
     int32_t ref_begin = end_ref - end_ref_rev;
-    int32_t rev_read_idx = -1;
-    for (int32_t j = 0; j < Rr; j++) if (bc[j] == score1) { rev_read_idx = j; break; }
     int32_t query_begin = end_read - rev_read_idx;
     out[1] = ref_begin;
     out[3] = query_begin;
