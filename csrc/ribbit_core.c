@@ -104,11 +104,23 @@ static void iv_push(IVec *v, i64 x) {
     v->d[v->n++] = x;
 }
 
-/* emissions from the scanner state machines.  24-byte layout: positions
+/* event-run storage: positions fit i32 (create() requires L < 2^31-64;
+ * chromosome-scale inputs are far below it) — halves the dominant
+ * O(events) memory term at 250 Mb scale */
+typedef struct { int32_t *d; i64 n, cap; } IV32;
+static void iv32_free(IV32 *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
+static void iv32_push(IV32 *v, i64 x) {
+    if (v->n == v->cap) {
+        v->cap = v->cap ? v->cap * 2 : 64;
+        v->d = (int32_t *)xrealloc(v->d, (size_t)v->cap * sizeof(int32_t));
+    }
+    v->d[v->n++] = (int32_t)x;
+}
+
+/* emissions from the scanner state machines: 16-byte record, positions
  * are i32 (per-contig limit 2^31 bp — an order of magnitude above the
- * longest real chromosome); seq is the per-channel stability tiebreak for
- * the qsort fallback. */
-typedef struct { i64 pos; i32 s, e; i32 seq; int16_t didx; int8_t sub; } Emis;
+ * longest real chromosome); within-channel order is the array order. */
+typedef struct { i32 pos; i32 s, e; int16_t didx; uint8_t sub; uint8_t _pad; } Emis;
 typedef struct { Emis *d; i64 n, cap; } EVec;
 static void ev_init(EVec *v) { v->d = NULL; v->n = 0; v->cap = 0; }
 static void ev_free(EVec *v) { free(v->d); v->d = NULL; v->n = v->cap = 0; }
@@ -117,15 +129,25 @@ static void ev_push(EVec *v, Emis e) {
         v->cap = v->cap ? v->cap * 2 : 256;
         v->d = (Emis *)xrealloc(v->d, (size_t)v->cap * sizeof(Emis));
     }
-    e.seq = (i32)v->n;
     v->d[v->n++] = e;
 }
-static int emis_cmp(const void *pa, const void *pb) {
-    const Emis *a = (const Emis *)pa, *b = (const Emis *)pb;
-    if (a->pos != b->pos) return a->pos < b->pos ? -1 : 1;
-    if (a->didx != b->didx) return a->didx < b->didx ? -1 : 1;
-    if (a->sub != b->sub) return a->sub < b->sub ? -1 : 1;
-    return a->seq < b->seq ? -1 : (a->seq > b->seq ? 1 : 0);
+typedef struct { Emis e; i64 k; } EmisIdx;   /* k = generation order */
+
+static int emis_cmp_idx(const void *pa, const void *pb) {
+    const EmisIdx *a = (const EmisIdx *)pa, *b = (const EmisIdx *)pb;
+    if (a->e.pos != b->e.pos) return a->e.pos < b->e.pos ? -1 : 1;
+    if (a->e.didx != b->e.didx) return a->e.didx < b->e.didx ? -1 : 1;
+    if (a->e.sub != b->e.sub) return a->e.sub < b->e.sub ? -1 : 1;
+    return a->k < b->k ? -1 : (a->k > b->k ? 1 : 0);
+}
+
+/* stable (pos, didx, sub, generation) sort via an index-decorated temp */
+static void emis_sort_stable(Emis *d, i64 n) {
+    EmisIdx *t = (EmisIdx *)xmalloc((size_t)n * sizeof(EmisIdx));
+    for (i64 k = 0; k < n; k++) { t[k].e = d[k]; t[k].k = k; }
+    qsort(t, (size_t)n, sizeof(EmisIdx), emis_cmp_idx);
+    for (i64 k = 0; k < n; k++) d[k] = t[k].e;
+    free(t);
 }
 
 /* Streaming k-way merge of per-channel event vectors in global
@@ -172,7 +194,7 @@ static void ev_ensure_sorted(EVec *per, i32 nch) {
             }
         }
         if (!sorted)
-            qsort(v->d, (size_t)v->n, sizeof(Emis), emis_cmp);
+            emis_sort_stable(v->d, v->n);
     }
 }
 
@@ -264,9 +286,9 @@ typedef struct RibbitCore {
     i32 min_motif, max_motif, min_shift, max_shift, nshifts, nmotifs;
 
     /* per-motif-channel events (index didx = m - min_motif) */
-    IVec *perf_s, *perf_e;      /* perfect runs of eq & ~n (len-filtered)   */
-    IVec *q7_s, *q7_e;          /* runs of qualified windows, threshold 7   */
-    IVec *q6_s, *q6_e;          /* runs of qualified windows, threshold 6   */
+    IV32 *perf_s, *perf_e;      /* perfect runs of eq & ~n (len-filtered)   */
+    IV32 *q7_s, *q7_e;          /* runs of qualified windows, threshold 7   */
+    IV32 *q6_s, *q6_e;          /* runs of qualified windows, threshold 6   */
     int events_ready;
 
     /* N-free segments [a, b) */
@@ -519,16 +541,16 @@ static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
  * exactly at a tile boundary is emitted by the next tile — same values,
  * same per-channel order). */
 static void tile_byte_runs(const uint8_t *qb, i64 T0, i64 W1, i64 nw,
-                           i64 *open, IVec *ss, IVec *ee) {
+                           i64 *open, IV32 *ss, IV32 *ee) {
     i64 n = W1 - T0;
     i64 j = 0;
     if (*open >= 0) {
         while (j < n && qb[j]) j++;
         if (j < n) {
-            iv_push(ss, *open); iv_push(ee, T0 + j);
+            iv32_push(ss, *open); iv32_push(ee, T0 + j);
             *open = -1;
         } else if (W1 == nw) {
-            iv_push(ss, *open); iv_push(ee, nw);
+            iv32_push(ss, *open); iv32_push(ee, nw);
             *open = -1;
             return;
         } else {
@@ -551,8 +573,8 @@ static void tile_byte_runs(const uint8_t *qb, i64 T0, i64 W1, i64 nw,
             *open = T0 + s;
             return;
         }
-        iv_push(ss, T0 + s);
-        iv_push(ee, T0 + p);            /* p==n with W1==nw: e = nw */
+        iv32_push(ss, T0 + s);
+        iv32_push(ee, T0 + p);            /* p==n with W1==nw: e = nw */
     }
 }
 
@@ -709,8 +731,8 @@ static void *gen_worker(void *arg) {
                     while (j < T1 && PM(j)) j++;
                     if (j < T1 || T1 == L || !PM(T1)) {
                         if (j - open >= cutoff) {
-                            iv_push(&c->perf_s[didx], open);
-                            iv_push(&c->perf_e[didx], j);
+                            iv32_push(&c->perf_s[didx], open);
+                            iv32_push(&c->perf_e[didx], j);
                         }
                         perf_open[didx] = -1;
                     }
@@ -734,8 +756,8 @@ static void *gen_worker(void *arg) {
                             break;
                         }
                         if (e - s >= cutoff) {
-                            iv_push(&c->perf_s[didx], s);
-                            iv_push(&c->perf_e[didx], e);
+                            iv32_push(&c->perf_s[didx], s);
+                            iv32_push(&c->perf_e[didx], e);
                         }
                         p = e + 1;
                     }
@@ -822,12 +844,12 @@ static void *gen_worker(void *arg) {
 static void generate_events(RibbitCore *c) {
     i64 L = c->L;
     i32 nm = c->nmotifs;
-    c->perf_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->perf_e = (IVec *)calloc(nm, sizeof(IVec));
-    c->q7_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->q7_e = (IVec *)calloc(nm, sizeof(IVec));
-    c->q6_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->q6_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->perf_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->perf_e = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q7_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q7_e = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q6_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q6_e = (IV32 *)calloc(nm, sizeof(IV32));
 
     /* shared per-window N counts */
     uint8_t *n8 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
@@ -1920,40 +1942,44 @@ static void run_perfect_scan(RibbitCore *c) {
         /* QUIRK: N-closed runs use cutoff m + midx (parse_perfect_shiftxor.cpp:179) */
         i64 midx = m - c->min_shift;
         i64 cutoff_n = m <= 6 ? 12 - m : m + midx;
-        IVec *ss = &c->perf_s[didx], *ee = &c->perf_e[didx];
+        IV32 *ss = &c->perf_s[didx], *ee = &c->perf_e[didx];
         for (i64 r = 0; r < ss->n; r++) {
             i64 s = ss->d[r], e = ee->d[r];
             if (e >= L) {
                 /* final flush uses window_position L-1 */
                 if ((L - 1) - s >= cutoff) {
-                    Emis em = {.pos = L, .s = (i32)(s), .e = (i32)(L - 1), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                    Emis em = {.pos = (i32)(L), .s = (i32)(s), .e = (i32)(L - 1), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                     ev_push(&events, em);
                 }
             } else if (c->nmask[e]) {
                 if (e - s >= cutoff_n) {
-                    Emis em = {.pos = e, .s = (i32)(s), .e = (i32)(e), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                    Emis em = {.pos = (i32)(e), .s = (i32)(s), .e = (i32)(e), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                     ev_push(&events, em);
                 }
             } else {
                 if (e - s >= cutoff) {
-                    Emis em = {.pos = e, .s = (i32)(s), .e = (i32)(e), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                    Emis em = {.pos = (i32)(e), .s = (i32)(s), .e = (i32)(e), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                     ev_push(&events, em);
                 }
             }
         }
     }
-    qsort(events.d, (size_t)events.n, sizeof(Emis), emis_cmp);
+    emis_sort_stable(events.d, events.n);
     for (i64 k = 0; k < events.n; k++) {
         i64 m = c->min_motif + events.d[k].didx;
         add_seed_perfect(c, events.d[k].s, events.d[k].e, m);
     }
     ev_free(&events);
+    for (i32 didx = 0; didx < c->nmotifs; didx++) {
+        iv32_free(&c->perf_s[didx]);
+        iv32_free(&c->perf_e[didx]);
+    }
 }
 
 /* one channel of the windowed scanner state machine
  * (events.py:_windowed_emissions); qual runs are [ws, we) half-open over
  * window indices */
-static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
+static void windowed_emissions(RibbitCore *c, const IV32 *qs, const IV32 *qe,
                                i64 m, i32 didx, EVec *out) {
     i64 L = c->L;
     const i64 W = WINDOW_LENGTH;
@@ -1974,13 +2000,15 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
     }
     const i64 SENTINEL = (i64)1 << 60;
 
-    /* first_eval_after(x): smallest evaluated window index >= x+1 */
+    /* first_eval_after(x): smallest evaluated window index >= x+1.
+     * Query arguments (le) and run ends (we) are nondecreasing within a
+     * channel, so both segment lookups advance monotone cursors instead
+     * of bisecting per run. */
+    i64 k1 = 0, k2 = 0;
 #define FIRST_EVAL_AFTER(x, res) do { \
-    i64 _lo = 0, _hi = n_wide; \
-    while (_lo < _hi) { i64 _mid = (_lo + _hi) >> 1; \
-        if (eval_hi[_mid] < (x) + 1) _lo = _mid + 1; else _hi = _mid; } \
-    if (_lo >= n_wide) (res) = SENTINEL; \
-    else (res) = ((x) + 1 > eval_lo[_lo]) ? (x) + 1 : eval_lo[_lo]; \
+    while (k1 < n_wide && eval_hi[k1] < (x) + 1) k1++; \
+    if (k1 >= n_wide) (res) = SENTINEL; \
+    else (res) = ((x) + 1 > eval_lo[k1]) ? (x) + 1 : eval_lo[k1]; \
 } while (0)
 
     i64 cur = -1;       /* tracked seed start (window index) or -1 */
@@ -1994,28 +2022,21 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
             i64 wf;
             FIRST_EVAL_AFTER(le, wf);
             if (wf < ws) {
-                Emis em = {.pos = wf + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                 ev_push(out, em);
                 ls = le = -1;
             }
         }
         if (le != -1 && le < ws) {
-            Emis em = {.pos = ws + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+            Emis em = {.pos = (i32)(ws + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
             ev_push(out, em);
             ls = le = -1;
         }
         cur = ws;
 
-        /* locate this run's segment (bisect_left over eval_hi) */
-        i64 si;
-        {
-            i64 _lo = 0, _hi = n_wide;
-            while (_lo < _hi) {
-                i64 _mid = (_lo + _hi) >> 1;
-                if (eval_hi[_mid] < we) _lo = _mid + 1; else _hi = _mid;
-            }
-            si = _lo;
-        }
+        /* locate this run's segment (monotone: we ascends with r) */
+        while (k2 < n_wide && eval_hi[k2] < we) k2++;
+        i64 si = k2;
         i64 seg_last_eval = eval_hi[si];
         if (we < seg_last_eval) {
             if (ls == -1) ls = cur;
@@ -2025,7 +2046,7 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
             i64 sB = seg_b[si];
             if (sB < L) {
                 if (le != -1 && le < sB - (W - 1)) {
-                    Emis em = {.pos = sB, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                    Emis em = {.pos = (i32)(sB), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                     ev_push(out, em);
                     ls = le = -1;
                 }
@@ -2039,7 +2060,7 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
         i64 wf;
         FIRST_EVAL_AFTER(le, wf);
         if (wf < SENTINEL) {
-            Emis em = {.pos = wf + W - 1, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+            Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
             ev_push(out, em);
             ls = le = -1;
         }
@@ -2048,21 +2069,21 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
     /* end-of-sequence flush (parse_substitute_shiftxor.cpp:534-574) */
     if (le == -1) {
         if (cur != -1) {
-            Emis em = {.pos = L, .s = (i32)(cur), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+            Emis em = {.pos = (i32)(L), .s = (i32)(cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
             ev_push(out, em);
         }
     } else {
         if (cur == -1) {
-            Emis em = {.pos = L, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+            Emis em = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
             ev_push(out, em);
         } else {
             if (le >= cur - m) {
-                Emis em = {.pos = L, .s = (i32)(ls), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                Emis em = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                 ev_push(out, em);
             } else {
-                Emis em1 = {.pos = L, .s = (i32)(ls), .e = (i32)(le), .seq = 0, .didx = (int16_t)didx, .sub = 0};
+                Emis em1 = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
                 ev_push(out, em1);
-                Emis em2 = {.pos = L, .s = (i32)(cur), .e = (i32)(L), .seq = 0, .didx = (int16_t)didx, .sub = 1};
+                Emis em2 = {.pos = (i32)(L), .s = (i32)(cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 1, ._pad = 0};
                 ev_push(out, em2);
             }
         }
@@ -2079,7 +2100,8 @@ static void windowed_emissions(RibbitCore *c, const IVec *qs, const IVec *qe,
 typedef struct {
     RibbitCore *c;
     EVec *per;
-    IVec *qs, *qe;
+    IV32 *qs, *qe;
+    int free_runs;          /* free each channel's runs after converting */
     i64 next;
 } EmisGenPool;
 
@@ -2094,12 +2116,16 @@ static void *emis_gen_worker(void *arg) {
         v->cap = p->qs[d].n + 4;
         v->d = (Emis *)malloc((size_t)v->cap * sizeof(Emis));
         windowed_emissions(p->c, &p->qs[d], &p->qe[d], m, (i32)d, v);
+        if (p->free_runs) {             /* runs are dead once converted */
+            iv32_free(&p->qs[d]);
+            iv32_free(&p->qe[d]);
+        }
     }
     return NULL;
 }
 
-static void gen_emissions_parallel(RibbitCore *c, IVec *qs, IVec *qe,
-                                   EVec *per) {
+static void gen_emissions_parallel(RibbitCore *c, IV32 *qs, IV32 *qe,
+                                   EVec *per, int free_runs) {
     i64 nthreads = c->nthreads;
     if (nthreads <= 0) {
         const char *env = getenv("RIBBIT_THREADS");
@@ -2108,7 +2134,7 @@ static void gen_emissions_parallel(RibbitCore *c, IVec *qs, IVec *qe,
     }
     if (nthreads < 1) nthreads = 1;
     if (nthreads > c->nmotifs) nthreads = c->nmotifs;
-    EmisGenPool pool = {c, per, qs, qe, 0};
+    EmisGenPool pool = {c, per, qs, qe, free_runs, 0};
     if (nthreads == 1) {
         emis_gen_worker(&pool);
         return;
@@ -2123,7 +2149,7 @@ static void gen_emissions_parallel(RibbitCore *c, IVec *qs, IVec *qe,
 
 static void run_substitution_scan(RibbitCore *c) {
     EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    gen_emissions_parallel(c, c->q7_s, c->q7_e, per);
+    gen_emissions_parallel(c, c->q7_s, c->q7_e, per, 1);
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
@@ -2154,7 +2180,7 @@ static void run_anchored_scan(RibbitCore *c) {
     a0 = a1; } } while (0)
     if (timing) clock_gettime(CLOCK_MONOTONIC, &a0);
     EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    gen_emissions_parallel(c, c->q6_s, c->q6_e, per);
+    gen_emissions_parallel(c, c->q6_s, c->q6_e, per, 1);
     ATICK("emisgen");
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
@@ -2337,24 +2363,24 @@ void ribbit_core_set_events(RibbitCore *c,
                             const i64 *q7_s, const i64 *q7_e, const i64 *q7_off,
                             const i64 *q6_s, const i64 *q6_e, const i64 *q6_off) {
     i32 nm = c->nmotifs;
-    c->perf_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->perf_e = (IVec *)calloc(nm, sizeof(IVec));
-    c->q7_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->q7_e = (IVec *)calloc(nm, sizeof(IVec));
-    c->q6_s = (IVec *)calloc(nm, sizeof(IVec));
-    c->q6_e = (IVec *)calloc(nm, sizeof(IVec));
+    c->perf_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->perf_e = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q7_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q7_e = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q6_s = (IV32 *)calloc(nm, sizeof(IV32));
+    c->q6_e = (IV32 *)calloc(nm, sizeof(IV32));
     for (i32 d = 0; d < nm; d++) {
         for (i64 k = pf_off[d]; k < pf_off[d + 1]; k++) {
-            iv_push(&c->perf_s[d], pf_s[k]);
-            iv_push(&c->perf_e[d], pf_e[k]);
+            iv32_push(&c->perf_s[d], pf_s[k]);
+            iv32_push(&c->perf_e[d], pf_e[k]);
         }
         for (i64 k = q7_off[d]; k < q7_off[d + 1]; k++) {
-            iv_push(&c->q7_s[d], q7_s[k]);
-            iv_push(&c->q7_e[d], q7_e[k]);
+            iv32_push(&c->q7_s[d], q7_s[k]);
+            iv32_push(&c->q7_e[d], q7_e[k]);
         }
         for (i64 k = q6_off[d]; k < q6_off[d + 1]; k++) {
-            iv_push(&c->q6_s[d], q6_s[k]);
-            iv_push(&c->q6_e[d], q6_e[k]);
+            iv32_push(&c->q6_s[d], q6_s[k]);
+            iv32_push(&c->q6_e[d], q6_e[k]);
         }
     }
     /* N-free segments */
@@ -2427,6 +2453,9 @@ i64 ribbit_core_scan(RibbitCore *c) {
                 (long long)c->final_seeds.n);
     TICK("merge");
 #undef TICK
+    /* events, emissions and per-phase lattices are dead now; hand the
+     * pages back before refinement starts allocating */
+    malloc_trim(0);
     return c->final_seeds.n;
 }
 
@@ -2453,9 +2482,9 @@ void ribbit_core_destroy(RibbitCore *c) {
     if (!c) return;
     if (c->perf_s) {
         for (i32 d = 0; d < c->nmotifs; d++) {
-            iv_free(&c->perf_s[d]); iv_free(&c->perf_e[d]);
-            iv_free(&c->q7_s[d]); iv_free(&c->q7_e[d]);
-            iv_free(&c->q6_s[d]); iv_free(&c->q6_e[d]);
+            iv32_free(&c->perf_s[d]); iv32_free(&c->perf_e[d]);
+            iv32_free(&c->q7_s[d]); iv32_free(&c->q7_e[d]);
+            iv32_free(&c->q6_s[d]); iv32_free(&c->q6_e[d]);
         }
         free(c->perf_s); free(c->perf_e);
         free(c->q7_s); free(c->q7_e);

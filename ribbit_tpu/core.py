@@ -88,6 +88,11 @@ class CoreSession:
         self.lib = get_core_lib()
         if self.lib is None:
             raise RuntimeError("native core unavailable")
+        if code.shape[0] >= 2**31 - 64:
+            # the core stores event/emission positions as i32 (an order of
+            # magnitude above the longest real chromosome); beyond that the
+            # caller must chunk or use the Python engine
+            raise RuntimeError("native core: contig exceeds 2^31-64 bp")
         self.code = np.ascontiguousarray(code, dtype=np.int8)
         self.n_mask = np.ascontiguousarray(n_mask).view(np.uint8)
         self.cfg = cfg
