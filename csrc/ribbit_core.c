@@ -287,8 +287,17 @@ typedef struct RibbitCore {
 
     /* per-motif-channel events (index didx = m - min_motif) */
     IV32 *perf_s, *perf_e;      /* perfect runs of eq & ~n (len-filtered)   */
-    IV32 *q7_s, *q7_e;          /* runs of qualified windows, threshold 7   */
-    IV32 *q6_s, *q6_e;          /* runs of qualified windows, threshold 6   */
+    IV32 *q7_s, *q7_e;          /* injected runs, threshold 7 (device path) */
+    IV32 *q6_s, *q6_e;          /* injected runs, threshold 6 (device path) */
+    EVec *q7_emis;              /* per-channel emissions streamed during
+                                 * generation (host path; runs never
+                                 * materialize) */
+    EVec *q6_emis;              /* only in the disorder-fallback mode */
+    struct Q6Sink *q6_sink;     /* classified anchored emissions */
+    struct WinSM *q7_sm, *q6_sm;
+    int q6_evec_mode;           /* fallback: plain vectors instead of sinks */
+    i64 *eval_lo, *eval_hi, *evseg_b;   /* wide-segment windows (shared) */
+    i64 n_wide;
     int events_ready;
 
     /* N-free segments [a, b) */
@@ -534,6 +543,239 @@ static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
     }
 }
 
+/* one channel of the windowed scanner state machine
+ * (events.py:_windowed_emissions) as a FEED-BASED state machine so the
+ * generation pass can stream qualified runs straight into emissions
+ * without materializing the run arrays (the dominant O(events) memory
+ * term).  Qual runs are [ws, we) half-open over window indices and must
+ * arrive in ascending order (they do: the tile pass closes runs left to
+ * right and each channel is owned by one worker). */
+/* Classified anchored-emission storage.  add_seed_anchored rejects any
+ * emission with e - s < cutoff right after its cursor advance, and the
+ * consume loop folds those (the ~16x majority on repeat-dense input)
+ * into a running max of eligible end positions.  Classifying at
+ * generation time stores the rejected majority as 8-byte (pos, end)
+ * records instead of full emissions — the largest O(emissions) memory
+ * term drops ~2x — while the surviving minority keeps full records plus
+ * the two lookahead-dependent flags the consume loop needs. */
+typedef struct { i32 pos, s, e; uint32_t nrej;  /* #rejected generated
+                                                 * before this entry */
+                 uint8_t sub, updates; uint16_t _pad; } SEmis;
+typedef struct { SEmis *d; i64 n, cap; } SVec;
+typedef struct { i32 pos; uint32_t e_elig; } REmis; /* bit31: eligible */
+typedef struct { REmis *d; i64 n, cap; } RVec;
+
+static void sv_push(SVec *v, SEmis e) {
+    if (v->n == v->cap) {
+        v->cap = v->cap ? v->cap + (v->cap >> 1) + 8 : 64;
+        v->d = (SEmis *)xrealloc(v->d, (size_t)v->cap * sizeof(SEmis));
+    }
+    v->d[v->n++] = e;
+}
+static void rv_push(RVec *v, REmis e) {
+    if (v->n == v->cap) {
+        v->cap = v->cap ? v->cap + (v->cap >> 1) + 8 : 64;
+        v->d = (REmis *)xrealloc(v->d, (size_t)v->cap * sizeof(REmis));
+    }
+    v->d[v->n++] = e;
+}
+
+typedef struct Q6Sink {
+    i64 cutoff, L;
+    SVec sv;
+    RVec rj;
+    Emis pend;                  /* one-entry lookahead (flags need the
+                                 * next generated emission's sub) */
+    int has_pend;
+    i64 last_pos; int last_sub; /* (pos, sub) monotonicity check */
+    int disorder;
+} Q6Sink;
+
+static void q6sink_final(Q6Sink *k, Emis em, int next_exists, int next_sub) {
+    if (em.pos < k->last_pos ||
+        (em.pos == k->last_pos && em.sub < k->last_sub))
+        k->disorder = 1;        /* never expected; triggers regeneration */
+    k->last_pos = em.pos; k->last_sub = em.sub;
+    int follow = next_exists && next_sub == 1;
+    if ((i64)em.e - em.s < k->cutoff) {
+        /* QUIRK (EOF flush): only the sub=0 emission of a "save both
+         * separately" pair advances from_indices
+         * (parse_anchored_shiftxor.cpp:713 vs 688-717) */
+        int elig = em.pos < k->L ? 1 : (em.sub == 0 && follow);
+        REmis r = {em.pos, (uint32_t)em.e | ((uint32_t)elig << 31)};
+        rv_push(&k->rj, r);
+    } else {
+        SEmis s = {em.pos, em.s, em.e, (uint32_t)k->rj.n,
+                   em.sub, (uint8_t)(em.sub == 0 && follow), 0};
+        sv_push(&k->sv, s);
+    }
+}
+
+static void q6sink_push(Q6Sink *k, Emis em) {
+    if (k->has_pend) q6sink_final(k, k->pend, 1, em.sub);
+    k->pend = em;
+    k->has_pend = 1;
+}
+
+static void q6sink_flush(Q6Sink *k) {
+    if (k->has_pend) q6sink_final(k, k->pend, 0, 0);
+    k->has_pend = 0;
+}
+
+typedef struct WinSM {
+    i64 cur, ls, le;            /* tracked seed state (window indices) */
+    i64 k1, k2;                 /* monotone segment cursors */
+    i64 m;
+    i32 didx;
+    int fed;                    /* zero runs -> zero emissions */
+    EVec *out;                  /* plain sink (q7 / injected paths) */
+    Q6Sink *q6;                 /* classified sink (anchored host path) */
+} WinSM;
+
+static inline void winsm_emit(WinSM *sm, Emis em) {
+    if (sm->q6) q6sink_push(sm->q6, em);
+    else ev_push(sm->out, em);
+}
+
+#define WIN_SENTINEL ((i64)1 << 60)
+
+/* first_eval_after(x): smallest evaluated window index >= x+1.  Query
+ * arguments (le) and run ends (we) are nondecreasing within a channel,
+ * so both segment lookups advance monotone cursors instead of bisecting
+ * per run. */
+#define FIRST_EVAL_AFTER(sm, x, res) do { \
+    while ((sm)->k1 < c->n_wide && c->eval_hi[(sm)->k1] < (x) + 1) (sm)->k1++; \
+    if ((sm)->k1 >= c->n_wide) (res) = WIN_SENTINEL; \
+    else (res) = ((x) + 1 > c->eval_lo[(sm)->k1]) ? (x) + 1 \
+                                                  : c->eval_lo[(sm)->k1]; \
+} while (0)
+
+static void winsm_init(WinSM *sm, i64 m, i32 didx, EVec *out, Q6Sink *q6) {
+    sm->cur = -1; sm->ls = -1; sm->le = -1;
+    sm->k1 = 0; sm->k2 = 0;
+    sm->m = m; sm->didx = didx; sm->fed = 0;
+    sm->out = out;
+    sm->q6 = q6;
+}
+
+/* shared evaluated-window intervals per wide segment: w in
+ * [segA, segB - W]; channel-independent, built once after the N-free
+ * segments are known */
+static void build_eval_segments(RibbitCore *c) {
+    const i64 W = WINDOW_LENGTH;
+    c->eval_lo = (i64 *)xmalloc((size_t)(c->seg_a.n ? c->seg_a.n : 1)
+                                * sizeof(i64));
+    c->eval_hi = (i64 *)xmalloc((size_t)(c->seg_a.n ? c->seg_a.n : 1)
+                                * sizeof(i64));
+    c->evseg_b = (i64 *)xmalloc((size_t)(c->seg_a.n ? c->seg_a.n : 1)
+                                * sizeof(i64));
+    c->n_wide = 0;
+    for (i64 i = 0; i < c->seg_a.n; i++) {
+        if (c->seg_b.d[i] - c->seg_a.d[i] >= W) {
+            c->eval_lo[c->n_wide] = c->seg_a.d[i];
+            c->eval_hi[c->n_wide] = c->seg_b.d[i] - W;
+            c->evseg_b[c->n_wide] = c->seg_b.d[i];
+            c->n_wide++;
+        }
+    }
+}
+
+static void winsm_feed(RibbitCore *c, WinSM *sm, i64 ws, i64 we_excl) {
+    const i64 W = WINDOW_LENGTH;
+    i64 L = c->L;
+    i32 didx = sm->didx;
+    i64 we = we_excl - 1;         /* inclusive last qualified window */
+    sm->fed = 1;
+
+    if (sm->le != -1) {
+        i64 wf;
+        FIRST_EVAL_AFTER(sm, sm->le, wf);
+        if (wf < ws) {
+            Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+            winsm_emit(sm, em);
+            sm->ls = sm->le = -1;
+        }
+    }
+    if (sm->le != -1 && sm->le < ws) {
+        Emis em = {.pos = (i32)(ws + W - 1), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+        winsm_emit(sm, em);
+        sm->ls = sm->le = -1;
+    }
+    sm->cur = ws;
+
+    /* locate this run's segment (monotone: we ascends across feeds) */
+    while (sm->k2 < c->n_wide && c->eval_hi[sm->k2] < we) sm->k2++;
+    i64 si = sm->k2;
+    i64 seg_last_eval = c->eval_hi[si];
+    if (we < seg_last_eval) {
+        if (sm->ls == -1) sm->ls = sm->cur;
+        sm->le = we + W;
+        sm->cur = -1;
+    } else {
+        i64 sB = c->evseg_b[si];
+        if (sB < L) {
+            if (sm->le != -1 && sm->le < sB - (W - 1)) {
+                Emis em = {.pos = (i32)(sB), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+                winsm_emit(sm, em);
+                sm->ls = sm->le = -1;
+            }
+            sm->cur = -1;
+        }
+        /* else: sequence end with cur still tracking -> EOF in finish */
+    }
+}
+
+static void winsm_finish(RibbitCore *c, WinSM *sm) {
+    const i64 W = WINDOW_LENGTH;
+    i64 L = c->L;
+    i32 didx = sm->didx;
+    if (!sm->fed) return;         /* zero runs: no emissions at all */
+
+    if (sm->le != -1 && sm->cur == -1) {
+        i64 wf;
+        FIRST_EVAL_AFTER(sm, sm->le, wf);
+        if (wf < WIN_SENTINEL) {
+            Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+            winsm_emit(sm, em);
+            sm->ls = sm->le = -1;
+        }
+    }
+
+    /* end-of-sequence flush (parse_substitute_shiftxor.cpp:534-574) */
+    if (sm->le == -1) {
+        if (sm->cur != -1) {
+            Emis em = {.pos = (i32)(L), .s = (i32)(sm->cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+            winsm_emit(sm, em);
+        }
+    } else {
+        if (sm->cur == -1) {
+            Emis em = {.pos = (i32)(L), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+            winsm_emit(sm, em);
+        } else {
+            if (sm->le >= sm->cur - sm->m) {
+                Emis em = {.pos = (i32)(L), .s = (i32)(sm->ls), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+                winsm_emit(sm, em);
+            } else {
+                Emis em1 = {.pos = (i32)(L), .s = (i32)(sm->ls), .e = (i32)(sm->le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
+                winsm_emit(sm, em1);
+                Emis em2 = {.pos = (i32)(L), .s = (i32)(sm->cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 1, ._pad = 0};
+                winsm_emit(sm, em2);
+            }
+        }
+    }
+}
+
+/* run-array front end for the injected-events path (scan_events_tpu) */
+static void windowed_emissions(RibbitCore *c, const IV32 *qs, const IV32 *qe,
+                               i64 m, i32 didx, EVec *out) {
+    if (qs->n == 0) return;
+    WinSM sm;
+    winsm_init(&sm, m, didx, out, NULL);
+    for (i64 r = 0; r < qs->n; r++)
+        winsm_feed(c, &sm, qs->d[r], qe->d[r]);
+    winsm_finish(c, &sm);
+}
+
 /* byte_runs_skip restricted to window tile [T0, W1) of the full domain
  * [0, nw), with the cross-tile open run carried in *open.  qb is
  * tile-local (qb[0] = window T0).  Emits exactly the runs the full-domain
@@ -541,16 +783,16 @@ static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
  * exactly at a tile boundary is emitted by the next tile — same values,
  * same per-channel order). */
 static void tile_byte_runs(const uint8_t *qb, i64 T0, i64 W1, i64 nw,
-                           i64 *open, IV32 *ss, IV32 *ee) {
+                           i64 *open, RibbitCore *c, WinSM *sm) {
     i64 n = W1 - T0;
     i64 j = 0;
     if (*open >= 0) {
         while (j < n && qb[j]) j++;
         if (j < n) {
-            iv32_push(ss, *open); iv32_push(ee, T0 + j);
+            winsm_feed(c, sm, *open, T0 + j);
             *open = -1;
         } else if (W1 == nw) {
-            iv32_push(ss, *open); iv32_push(ee, nw);
+            winsm_feed(c, sm, *open, nw);
             *open = -1;
             return;
         } else {
@@ -573,8 +815,7 @@ static void tile_byte_runs(const uint8_t *qb, i64 T0, i64 W1, i64 nw,
             *open = T0 + s;
             return;
         }
-        iv32_push(ss, T0 + s);
-        iv32_push(ee, T0 + p);            /* p==n with W1==nw: e = nw */
+        winsm_feed(c, sm, T0 + s, T0 + p); /* p==n with W1==nw: e = nw */
     }
 }
 
@@ -772,7 +1013,7 @@ static void *gen_worker(void *arg) {
                 for (i64 w = 0; w < W1 - T0; w++)
                     qbb[w] = (t8b[w] >= 7) & (n8[T0 + w] == 0);
                 tile_byte_runs(qbb, T0, W1, nw, &q7_open[didx],
-                               &c->q7_s[didx], &c->q7_e[didx]);
+                               c, &c->q7_sm[didx]);
             }
 
             /* anchored windows over the overlay (threshold 6,
@@ -796,7 +1037,7 @@ static void *gen_worker(void *arg) {
                     for (i64 w = 0; w < W1 - T0; w++)
                         qbb[w] = (t8b[w] >= 6) & (n8[T0 + w] == 0);
                     tile_byte_runs(qbb, T0, W1, nw, &q6_open[didx],
-                                   &c->q6_s[didx], &c->q6_e[didx]);
+                                   c, &c->q6_sm[didx]);
                 }
 
                 /* pack the overlay for O(range/64) popcount / longest-run
@@ -835,6 +1076,15 @@ static void *gen_worker(void *arg) {
         if (L == 0) break;
     }
 
+    /* all tiles done: flush the emission state machines of the owned
+     * channels (EOF rules, parse_substitute_shiftxor.cpp:534-574) */
+    for (i64 m = t->m_lo; m <= t->m_hi; m++) {
+        i32 didx = (i32)(m - c->min_motif);
+        winsm_finish(c, &c->q7_sm[didx]);
+        winsm_finish(c, &c->q6_sm[didx]);
+        if (c->q6_sink) q6sink_flush(&c->q6_sink[didx]);
+    }
+
     for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
     free(r3b); free(pmb); free(r6b); free(obb); free(t8b); free(qbb);
     free(perf_open); free(q7_open); free(q6_open);
@@ -844,12 +1094,51 @@ static void *gen_worker(void *arg) {
 static void generate_events(RibbitCore *c) {
     i64 L = c->L;
     i32 nm = c->nmotifs;
-    c->perf_s = (IV32 *)calloc(nm, sizeof(IV32));
-    c->perf_e = (IV32 *)calloc(nm, sizeof(IV32));
-    c->q7_s = (IV32 *)calloc(nm, sizeof(IV32));
-    c->q7_e = (IV32 *)calloc(nm, sizeof(IV32));
-    c->q6_s = (IV32 *)calloc(nm, sizeof(IV32));
-    c->q6_e = (IV32 *)calloc(nm, sizeof(IV32));
+    if (!c->perf_s) {
+        c->perf_s = (IV32 *)xcalloc(nm, sizeof(IV32));
+        c->perf_e = (IV32 *)xcalloc(nm, sizeof(IV32));
+    }
+
+    /* N-free segments + shared wide-segment windows, then per-channel
+     * emission state machines: qualified runs stream straight into
+     * emissions inside the generation pass (no run arrays) */
+    if (!c->eval_lo) {
+        iv_init(&c->seg_a);
+        iv_init(&c->seg_b);
+        i64 p = 0;
+        while (p < L) {
+            while (p < L && c->nmask[p]) p++;
+            if (p >= L) break;
+            i64 s = p;
+            while (p < L && !c->nmask[p]) p++;
+            iv_push(&c->seg_a, s);
+            iv_push(&c->seg_b, p);
+        }
+        build_eval_segments(c);
+    }
+    if (!c->q7_emis)
+        c->q7_emis = (EVec *)xcalloc((size_t)nm, sizeof(EVec));
+    if (c->q6_evec_mode) {
+        c->q6_emis = (EVec *)xcalloc((size_t)nm, sizeof(EVec));
+    } else {
+        c->q6_sink = (Q6Sink *)xcalloc((size_t)nm, sizeof(Q6Sink));
+        for (i32 d = 0; d < nm; d++) {
+            i64 m = c->min_motif + d;
+            i64 cut = m > 6 ? m : 10;
+            if (m >= 10) cut = (i64)(0.9 * (double)m);
+            c->q6_sink[d].cutoff = cut;
+            c->q6_sink[d].L = L;
+            c->q6_sink[d].last_pos = -1;
+        }
+    }
+    c->q7_sm = (WinSM *)xmalloc((size_t)nm * sizeof(WinSM));
+    c->q6_sm = (WinSM *)xmalloc((size_t)nm * sizeof(WinSM));
+    for (i32 d = 0; d < nm; d++) {
+        winsm_init(&c->q7_sm[d], c->min_motif + d, d, &c->q7_emis[d], NULL);
+        winsm_init(&c->q6_sm[d], c->min_motif + d, d,
+                   c->q6_evec_mode ? &c->q6_emis[d] : NULL,
+                   c->q6_evec_mode ? NULL : &c->q6_sink[d]);
+    }
 
     /* shared per-window N counts */
     uint8_t *n8 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
@@ -868,7 +1157,7 @@ static void generate_events(RibbitCore *c) {
     /* ~12.4 bytes/base (nmotifs * L/8): a 250 Mb chromosome costs ~3.1 GB,
      * cheap against the O(events) query savings on any genome-scale host */
     i64 cache_max = cache_env ? atoll(cache_env) : (i64)256 << 20;
-    if (L <= cache_max) {
+    if (L <= cache_max && !c->ov_pack) {
         c->ov_words = (L + 63) >> 6;
         c->ov_pack = (uint64_t **)calloc((size_t)nm, sizeof(uint64_t *));
         for (i32 d = 0; d < nm; d++)
@@ -903,21 +1192,8 @@ static void generate_events(RibbitCore *c) {
     free(tasks);
     free(tids);
     free(n8);
-
-    /* N-free segments */
-    iv_init(&c->seg_a);
-    iv_init(&c->seg_b);
-    {
-        i64 p = 0;
-        while (p < L) {
-            while (p < L && c->nmask[p]) p++;
-            if (p >= L) break;
-            i64 s = p;
-            while (p < L && !c->nmask[p]) p++;
-            iv_push(&c->seg_a, s);
-            iv_push(&c->seg_b, p);
-        }
-    }
+    free(c->q7_sm); free(c->q6_sm);
+    c->q7_sm = NULL; c->q6_sm = NULL;
     c->events_ready = 1;
 }
 
@@ -1976,123 +2252,6 @@ static void run_perfect_scan(RibbitCore *c) {
     }
 }
 
-/* one channel of the windowed scanner state machine
- * (events.py:_windowed_emissions); qual runs are [ws, we) half-open over
- * window indices */
-static void windowed_emissions(RibbitCore *c, const IV32 *qs, const IV32 *qe,
-                               i64 m, i32 didx, EVec *out) {
-    i64 L = c->L;
-    const i64 W = WINDOW_LENGTH;
-    if (qs->n == 0) return;
-
-    /* evaluated-window intervals per wide segment: w in [segA, segB - W] */
-    i64 n_wide = 0;
-    i64 *eval_lo = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
-    i64 *eval_hi = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
-    i64 *seg_b = (i64 *)malloc((size_t)c->seg_a.n * sizeof(i64));
-    for (i64 i = 0; i < c->seg_a.n; i++) {
-        if (c->seg_b.d[i] - c->seg_a.d[i] >= W) {
-            eval_lo[n_wide] = c->seg_a.d[i];
-            eval_hi[n_wide] = c->seg_b.d[i] - W;
-            seg_b[n_wide] = c->seg_b.d[i];
-            n_wide++;
-        }
-    }
-    const i64 SENTINEL = (i64)1 << 60;
-
-    /* first_eval_after(x): smallest evaluated window index >= x+1.
-     * Query arguments (le) and run ends (we) are nondecreasing within a
-     * channel, so both segment lookups advance monotone cursors instead
-     * of bisecting per run. */
-    i64 k1 = 0, k2 = 0;
-#define FIRST_EVAL_AFTER(x, res) do { \
-    while (k1 < n_wide && eval_hi[k1] < (x) + 1) k1++; \
-    if (k1 >= n_wide) (res) = SENTINEL; \
-    else (res) = ((x) + 1 > eval_lo[k1]) ? (x) + 1 : eval_lo[k1]; \
-} while (0)
-
-    i64 cur = -1;       /* tracked seed start (window index) or -1 */
-    i64 ls = -1, le = -1;
-
-    for (i64 r = 0; r < qs->n; r++) {
-        i64 ws = qs->d[r];
-        i64 we = qe->d[r] - 1;    /* inclusive last qualified window */
-
-        if (le != -1) {
-            i64 wf;
-            FIRST_EVAL_AFTER(le, wf);
-            if (wf < ws) {
-                Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-                ev_push(out, em);
-                ls = le = -1;
-            }
-        }
-        if (le != -1 && le < ws) {
-            Emis em = {.pos = (i32)(ws + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-            ev_push(out, em);
-            ls = le = -1;
-        }
-        cur = ws;
-
-        /* locate this run's segment (monotone: we ascends with r) */
-        while (k2 < n_wide && eval_hi[k2] < we) k2++;
-        i64 si = k2;
-        i64 seg_last_eval = eval_hi[si];
-        if (we < seg_last_eval) {
-            if (ls == -1) ls = cur;
-            le = we + W;
-            cur = -1;
-        } else {
-            i64 sB = seg_b[si];
-            if (sB < L) {
-                if (le != -1 && le < sB - (W - 1)) {
-                    Emis em = {.pos = (i32)(sB), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-                    ev_push(out, em);
-                    ls = le = -1;
-                }
-                cur = -1;
-            }
-            /* else: sequence end with cur still tracking -> EOF below */
-        }
-    }
-
-    if (le != -1 && cur == -1) {
-        i64 wf;
-        FIRST_EVAL_AFTER(le, wf);
-        if (wf < SENTINEL) {
-            Emis em = {.pos = (i32)(wf + W - 1), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-            ev_push(out, em);
-            ls = le = -1;
-        }
-    }
-
-    /* end-of-sequence flush (parse_substitute_shiftxor.cpp:534-574) */
-    if (le == -1) {
-        if (cur != -1) {
-            Emis em = {.pos = (i32)(L), .s = (i32)(cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-            ev_push(out, em);
-        }
-    } else {
-        if (cur == -1) {
-            Emis em = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-            ev_push(out, em);
-        } else {
-            if (le >= cur - m) {
-                Emis em = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(L), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-                ev_push(out, em);
-            } else {
-                Emis em1 = {.pos = (i32)(L), .s = (i32)(ls), .e = (i32)(le), .didx = (int16_t)didx, .sub = 0, ._pad = 0};
-                ev_push(out, em1);
-                Emis em2 = {.pos = (i32)(L), .s = (i32)(cur), .e = (i32)(L), .didx = (int16_t)didx, .sub = 1, ._pad = 0};
-                ev_push(out, em2);
-            }
-        }
-    }
-#undef FIRST_EVAL_AFTER
-    free(eval_lo);
-    free(eval_hi);
-    free(seg_b);
-}
 
 
 /* fill per-channel emission vectors in parallel (each channel's windowed
@@ -2148,8 +2307,12 @@ static void gen_emissions_parallel(RibbitCore *c, IV32 *qs, IV32 *qe,
 }
 
 static void run_substitution_scan(RibbitCore *c) {
-    EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    gen_emissions_parallel(c, c->q7_s, c->q7_e, per, 1);
+    EVec *per = c->q7_emis;          /* streamed during generation */
+    c->q7_emis = NULL;
+    if (!per) {                      /* injected-events path: runs given */
+        per = (EVec *)xcalloc((size_t)c->nmotifs, sizeof(EVec));
+        gen_emissions_parallel(c, c->q7_s, c->q7_e, per, 1);
+    }
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
         i64 m = c->min_motif + d;
@@ -2170,6 +2333,27 @@ static void run_substitution_scan(RibbitCore *c) {
     free(per);
 }
 
+/* build classified sinks from sorted per-channel emission vectors
+ * (injected-events path / disorder fallback); consumes and frees `per` */
+static Q6Sink *sinks_from_evec(RibbitCore *c, EVec *per) {
+    i32 nm = c->nmotifs;
+    Q6Sink *sink = (Q6Sink *)xcalloc((size_t)nm, sizeof(Q6Sink));
+    for (i32 d = 0; d < nm; d++) {
+        i64 m = c->min_motif + d;
+        i64 cut = m > 6 ? m : 10;
+        if (m >= 10) cut = (i64)(0.9 * (double)m);
+        sink[d].cutoff = cut;
+        sink[d].L = c->L;
+        sink[d].last_pos = -1;
+        for (i64 i = 0; i < per[d].n; i++)
+            q6sink_push(&sink[d], per[d].d[i]);
+        q6sink_flush(&sink[d]);
+        ev_free(&per[d]);
+    }
+    free(per);
+    return sink;
+}
+
 static void run_anchored_scan(RibbitCore *c) {
     const char *timing = getenv("RIBBIT_CORE_TIMING");
     struct timespec a0, a1;
@@ -2179,8 +2363,42 @@ static void run_anchored_scan(RibbitCore *c) {
             (double)(a1.tv_sec - a0.tv_sec) + 1e-9 * (a1.tv_nsec - a0.tv_nsec)); \
     a0 = a1; } } while (0)
     if (timing) clock_gettime(CLOCK_MONOTONIC, &a0);
-    EVec *per = (EVec *)calloc((size_t)c->nmotifs, sizeof(EVec));
-    gen_emissions_parallel(c, c->q6_s, c->q6_e, per, 1);
+    Q6Sink *sink = c->q6_sink;       /* classified during generation */
+    c->q6_sink = NULL;
+    if (sink) {
+        int disorder = 0;
+        for (i32 d = 0; d < c->nmotifs; d++)
+            if (sink[d].disorder) disorder = 1;
+        if (disorder) {
+            /* never expected (emission order is monotone by
+             * construction): regenerate as plain sorted vectors */
+            fprintf(stderr, "ribbit-core: anchored emission disorder; "
+                            "regenerating\n");
+            for (i32 d = 0; d < c->nmotifs; d++) {
+                free(sink[d].sv.d);
+                free(sink[d].rj.d);
+            }
+            free(sink);
+            sink = NULL;
+            c->q6_evec_mode = 1;
+            generate_events(c);
+            /* the substitution stream was already consumed: drop the
+             * regenerated copy */
+            for (i32 d = 0; d < c->nmotifs; d++) ev_free(&c->q7_emis[d]);
+            free(c->q7_emis);
+            c->q7_emis = NULL;
+        }
+    }
+    if (!sink) {                     /* injected events / fallback */
+        EVec *per = c->q6_emis;
+        c->q6_emis = NULL;
+        if (!per) {
+            per = (EVec *)xcalloc((size_t)c->nmotifs, sizeof(EVec));
+            gen_emissions_parallel(c, c->q6_s, c->q6_e, per, 1);
+        }
+        ev_ensure_sorted(per, c->nmotifs);
+        sink = sinks_from_evec(c, per);
+    }
     ATICK("emisgen");
     i64 *cutoffs = (i64 *)malloc((size_t)c->nmotifs * sizeof(i64));
     for (i32 d = 0; d < c->nmotifs; d++) {
@@ -2189,7 +2407,6 @@ static void run_anchored_scan(RibbitCore *c) {
         if (m >= 10) cut = (i64)(0.9 * (double)m);
         cutoffs[d] = cut;
     }
-    ev_ensure_sorted(per, c->nmotifs);
     ATICK("mginit");
     FromIdx from = {0, 0};
     /* Cutoff-rejected emissions (the vast majority on repeat-dense input)
@@ -2213,91 +2430,90 @@ static void run_anchored_scan(RibbitCore *c) {
     {
         const i64 KMAX = (i64)1 << 62;
         i32 nch = c->nmotifs;
-        i64 *fcur = (i64 *)xcalloc((size_t)nch, sizeof(i64));
-        i64 *fkey = (i64 *)xmalloc((size_t)nch * sizeof(i64));
-        i64 *snext = (i64 *)xmalloc((size_t)nch * sizeof(i64));
+        i64 *rcur = (i64 *)xcalloc((size_t)nch, sizeof(i64));
+        i64 *rkey = (i64 *)xmalloc((size_t)nch * sizeof(i64));
+        i64 *snext = (i64 *)xcalloc((size_t)nch, sizeof(i64));
         uint64_t *heap = (uint64_t *)xmalloc((size_t)nch * sizeof(uint64_t));
         i32 hn = 0;
         for (i32 d = 0; d < nch; d++) {
-            EVec *v = &per[d];
-            fkey[d] = v->n ? (((i64)v->d[0].pos << 16) | d) : KMAX;
-            i64 i = 0;
-            while (i < v->n && (i64)v->d[i].e - v->d[i].s < cutoffs[d]) i++;
-            snext[d] = i;
-            if (i < v->n)
+            rkey[d] = sink[d].rj.n
+                          ? (((i64)sink[d].rj.d[0].pos << 16) | d) : KMAX;
+            if (sink[d].sv.n)
                 u64heap_push(heap, &hn,
-                             ((uint64_t)v->d[i].pos << 16) | (uint64_t)d);
+                             ((uint64_t)sink[d].sv.d[0].pos << 16)
+                                 | (uint64_t)d);
         }
         while (hn) {
             i32 d = (i32)(heap[0] & 0xFFFF);
-            EVec *v = &per[d];
             i64 i = snext[d];
-            Emis ev = v->d[i];
+            SEmis ev = sink[d].sv.d[i];
             i64 skey = ((i64)ev.pos << 16) | d;
 
             /* fold every rejected event ordered before ev: strictly
-             * smaller key in other channels, smaller index in ev's own
-             * channel (equal-key cross-channel ties are impossible — the
-             * key embeds the channel) */
+             * smaller key in other channels (rejected entries there are
+             * all that can precede — the heap pops surviving keys in
+             * global order), generation order < ev in ev's own channel
+             * (ev.nrej counts them; equal-key cross-channel ties are
+             * impossible — the key embeds the channel) */
             for (i32 dd = 0; dd < nch; dd++) {
-                if (fkey[dd] >= skey && dd != d) continue;
-                EVec *w = &per[dd];
-                i64 j = fcur[dd], lim = (dd == d) ? i : w->n;
-                while (j < lim) {
-                    Emis *r = &w->d[j];
-                    if (dd != d && (((i64)r->pos << 16) | dd) >= skey) break;
-                    if ((i64)r->e - (i64)r->s < cutoffs[dd]) {
-                        /* QUIRK (EOF flush): only the sub=0 emission of a
-                         * "save both separately" pair advances from_indices
-                         * (parse_anchored_shiftxor.cpp:713 vs 688-717) */
-                        if (r->pos < c->L ? 1
-                              : (r->sub == 0 && j + 1 < w->n
-                                 && w->d[j + 1].sub == 1)) {
-                            if (r->e > pend) pend = r->e;
-                        }
+                RVec *w = &sink[dd].rj;
+                i64 j = rcur[dd];
+                if (dd == d) {
+                    for (; j < (i64)ev.nrej; j++) {
+                        REmis *r = &w->d[j];
+                        if ((r->e_elig >> 31)
+                            && (i64)(r->e_elig & 0x7FFFFFFF) > pend)
+                            pend = (i64)(r->e_elig & 0x7FFFFFFF);
                     }
-                    j++;
+                } else {
+                    if (rkey[dd] >= skey) continue;
+                    for (; j < w->n; j++) {
+                        REmis *r = &w->d[j];
+                        if ((((i64)r->pos << 16) | dd) >= skey) break;
+                        if ((r->e_elig >> 31)
+                            && (i64)(r->e_elig & 0x7FFFFFFF) > pend)
+                            pend = (i64)(r->e_elig & 0x7FFFFFFF);
+                    }
                 }
-                fcur[dd] = j;
-                fkey[dd] = j < w->n ? (((i64)w->d[j].pos << 16) | dd) : KMAX;
+                rcur[dd] = j;
+                rkey[dd] = j < w->n ? (((i64)w->d[j].pos << 16) | dd) : KMAX;
             }
 
-            i64 m = c->min_motif + ev.didx;
+            i64 m = c->min_motif + d;
             if (ev.pos < c->L) {
                 ANCH_APPLY_PEND();
                 from = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from,
                                          RANK_A);
             } else {
                 /* global-next after an EOF emission is its own channel's
-                 * next entry whenever that entry shares the (pos=L) key,
-                 * so the original evm_peek condition reduces to it */
-                int updates = (ev.sub == 0 && i + 1 < v->n
-                               && v->d[i + 1].sub == 1);
+                 * next generated entry whenever it is the sub=1 half of a
+                 * "save both separately" pair (flag precomputed with the
+                 * one-entry lookahead at generation) */
                 ANCH_APPLY_PEND();
                 FromIdx nf = add_seed_anchored(c, ev.s, ev.e, m, cutoffs,
                                                from, RANK_A);
-                if (updates) from = nf;
+                if (ev.updates) from = nf;
             }
 
-            fcur[d] = i + 1;
-            fkey[d] = i + 1 < v->n ? (((i64)v->d[i + 1].pos << 16) | d) : KMAX;
-            i64 s2 = i + 1;
-            while (s2 < v->n && (i64)v->d[s2].e - v->d[s2].s < cutoffs[d]) s2++;
-            snext[d] = s2;
-            if (s2 < v->n)
-                heap[0] = ((uint64_t)v->d[s2].pos << 16) | (uint64_t)d;
+            snext[d] = i + 1;
+            if (i + 1 < sink[d].sv.n)
+                heap[0] = ((uint64_t)sink[d].sv.d[i + 1].pos << 16)
+                          | (uint64_t)d;
             else
                 heap[0] = heap[--hn];
             u64heap_sift_down(heap, hn);
         }
-        free(fcur); free(fkey); free(snext); free(heap);
+        free(rcur); free(rkey); free(snext); free(heap);
     }
 #undef ANCH_APPLY_PEND
     ATICK("consume");
 #undef ATICK
     free(cutoffs);
-    for (i32 d = 0; d < c->nmotifs; d++) ev_free(&per[d]);
-    free(per);
+    for (i32 d = 0; d < c->nmotifs; d++) {
+        free(sink[d].sv.d);
+        free(sink[d].rj.d);
+    }
+    free(sink);
 }
 
 /* final 3-pointer merge by seed start (pipeline.py / fasta_utils.cpp:181-242);
@@ -2395,6 +2611,7 @@ void ribbit_core_set_events(RibbitCore *c,
         iv_push(&c->seg_a, s);
         iv_push(&c->seg_b, p);
     }
+    build_eval_segments(c);
     c->events_ready = 1;
 }
 
@@ -2483,13 +2700,34 @@ void ribbit_core_destroy(RibbitCore *c) {
     if (c->perf_s) {
         for (i32 d = 0; d < c->nmotifs; d++) {
             iv32_free(&c->perf_s[d]); iv32_free(&c->perf_e[d]);
+        }
+        free(c->perf_s); free(c->perf_e);
+    }
+    if (c->q7_s) {                  /* injected-events path only */
+        for (i32 d = 0; d < c->nmotifs; d++) {
             iv32_free(&c->q7_s[d]); iv32_free(&c->q7_e[d]);
             iv32_free(&c->q6_s[d]); iv32_free(&c->q6_e[d]);
         }
-        free(c->perf_s); free(c->perf_e);
         free(c->q7_s); free(c->q7_e);
         free(c->q6_s); free(c->q6_e);
     }
+    if (c->q7_emis) {               /* scan never consumed them */
+        for (i32 d = 0; d < c->nmotifs; d++) ev_free(&c->q7_emis[d]);
+        free(c->q7_emis);
+    }
+    if (c->q6_emis) {
+        for (i32 d = 0; d < c->nmotifs; d++) ev_free(&c->q6_emis[d]);
+        free(c->q6_emis);
+    }
+    if (c->q6_sink) {               /* scan never consumed them */
+        for (i32 d = 0; d < c->nmotifs; d++) {
+            free(c->q6_sink[d].sv.d);
+            free(c->q6_sink[d].rj.d);
+        }
+        free(c->q6_sink);
+    }
+    free(c->q7_sm); free(c->q6_sm);
+    free(c->eval_lo); free(c->eval_hi); free(c->evseg_b);
     if (c->ov_pack) {
         for (i32 d = 0; d < c->nmotifs; d++) free(c->ov_pack[d]);
         free(c->ov_pack);
