@@ -561,23 +561,107 @@ static void byte_runs_skip(const uint8_t *q, i64 n, IVec *ss, IVec *ee) {
 typedef struct { i32 pos, s, e; uint32_t nrej;  /* #rejected generated
                                                  * before this entry */
                  uint8_t sub, updates; uint16_t _pad; } SEmis;
-typedef struct { SEmis *d; i64 n, cap; } SVec;
-typedef struct { i32 pos; uint32_t e_elig; } REmis; /* bit31: eligible */
-typedef struct { REmis *d; i64 n, cap; } RVec;
+/* surviving emissions: also consumed sequentially per channel (the merge
+ * heap holds only the current head key), so stored as a varint stream:
+ * varint((dpos << 2) | (sub << 1) | updates), varint(pos - e),
+ * varint(e - s), varint(nrej - prev_nrej).  All four deltas are
+ * nonnegative (pos and nrej are nondecreasing per channel; s <= e <= pos
+ * at every emission site). */
+typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos;
+                 i64 prev_nrej; } SVec;
+/* rejected emissions: consumed strictly sequentially per channel, so they
+ * are stored as a delta/varint byte stream instead of 8-byte records —
+ * varint(pos - prev_pos), varint(((pos - e) << 1) | eligible).  Both
+ * deltas are nonnegative: (pos, sub) is monotone per channel and every
+ * emission site sets pos >= e (pos = wf + W - 1 with wf > le = e; EOF
+ * flushes use pos = L >= e). ~2.5 B/record vs 8 (15 -> ~4 B/bp). */
+typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos; } RVec;
+
+static inline void sv_put(SVec *v, uint64_t x) {
+    if (v->n + 10 > v->cap) {
+        v->cap = v->cap ? v->cap + (v->cap >> 1) + 16 : 64;
+        v->d = (uint8_t *)xrealloc(v->d, (size_t)v->cap);
+    }
+    while (x >= 0x80) { v->d[v->n++] = (uint8_t)(x | 0x80); x >>= 7; }
+    v->d[v->n++] = (uint8_t)x;
+}
 
 static void sv_push(SVec *v, SEmis e) {
-    if (v->n == v->cap) {
-        v->cap = v->cap ? v->cap + (v->cap >> 1) + 8 : 64;
-        v->d = (SEmis *)xrealloc(v->d, (size_t)v->cap * sizeof(SEmis));
-    }
-    v->d[v->n++] = e;
+    sv_put(v, ((uint64_t)(e.pos - v->prev_pos) << 2)
+              | ((uint64_t)e.sub << 1) | (uint64_t)e.updates);
+    sv_put(v, (uint64_t)((i64)e.pos - e.e));
+    sv_put(v, (uint64_t)((i64)e.e - e.s));
+    sv_put(v, (uint64_t)(e.nrej - v->prev_nrej));
+    v->prev_pos = e.pos;
+    v->prev_nrej = e.nrej;
+    v->cnt++;
 }
-static void rv_push(RVec *v, REmis e) {
-    if (v->n == v->cap) {
-        v->cap = v->cap ? v->cap + (v->cap >> 1) + 8 : 64;
-        v->d = (REmis *)xrealloc(v->d, (size_t)v->cap * sizeof(REmis));
+
+typedef struct { const uint8_t *p, *end; i32 pos; i64 s, e, nrej;
+                 int sub, updates, valid; } SDec;
+
+static inline void sdec_next(SDec *r) {
+    if (r->p >= r->end) { r->valid = 0; return; }
+    uint64_t h, x = 0; int sh = 0; uint8_t b;
+#define SDEC_GET(dst) do { x = 0; sh = 0; \
+    do { b = *r->p++; x |= (uint64_t)(b & 0x7F) << sh; sh += 7; } \
+    while (b & 0x80); (dst) = x; } while (0)
+    SDEC_GET(h);
+    r->pos += (i32)(h >> 2);
+    r->sub = (int)((h >> 1) & 1);
+    r->updates = (int)(h & 1);
+    SDEC_GET(x); r->e = (i64)r->pos - (i64)x;
+    SDEC_GET(x); r->s = r->e - (i64)x;
+    SDEC_GET(x); r->nrej += (i64)x;
+#undef SDEC_GET
+}
+
+static void sdec_init(SDec *r, const SVec *v) {
+    r->p = v->d; r->end = v->d + v->n;
+    r->pos = 0; r->s = 0; r->e = 0; r->nrej = 0;
+    r->sub = 0; r->updates = 0; r->valid = 1;
+    sdec_next(r);
+}
+static inline void rv_put(RVec *v, uint64_t x) {
+    if (v->n + 10 > v->cap) {
+        v->cap = v->cap ? v->cap + (v->cap >> 1) + 16 : 64;
+        v->d = (uint8_t *)xrealloc(v->d, (size_t)v->cap);
     }
-    v->d[v->n++] = e;
+    while (x >= 0x80) { v->d[v->n++] = (uint8_t)(x | 0x80); x >>= 7; }
+    v->d[v->n++] = (uint8_t)x;
+}
+
+static void rv_push(RVec *v, i32 pos, i64 e, int elig) {
+    rv_put(v, (uint64_t)(pos - v->prev_pos));
+    rv_put(v, ((uint64_t)(pos - e) << 1) | (uint64_t)elig);
+    v->prev_pos = pos;
+    v->cnt++;
+}
+
+/* sequential decoder; `idx` = index of the currently decoded record */
+typedef struct { const uint8_t *p, *end; i64 idx; i32 pos; i64 e; int elig;
+                 int valid; } RDec;
+
+static inline uint64_t rdec_get(RDec *r) {
+    uint64_t x = 0; int sh = 0; uint8_t b;
+    do { b = *r->p++; x |= (uint64_t)(b & 0x7F) << sh; sh += 7; }
+    while (b & 0x80);
+    return x;
+}
+
+static inline void rdec_next(RDec *r) {
+    if (r->p >= r->end) { r->valid = 0; return; }
+    r->pos += (i32)rdec_get(r);
+    uint64_t de = rdec_get(r);
+    r->e = (i64)r->pos - (i64)(de >> 1);
+    r->elig = (int)(de & 1);
+    r->idx++;
+}
+
+static void rdec_init(RDec *r, const RVec *v) {
+    r->p = v->d; r->end = v->d + v->n;
+    r->idx = -1; r->pos = 0; r->e = 0; r->elig = 0; r->valid = 1;
+    rdec_next(r);
 }
 
 typedef struct Q6Sink {
@@ -602,10 +686,9 @@ static void q6sink_final(Q6Sink *k, Emis em, int next_exists, int next_sub) {
          * separately" pair advances from_indices
          * (parse_anchored_shiftxor.cpp:713 vs 688-717) */
         int elig = em.pos < k->L ? 1 : (em.sub == 0 && follow);
-        REmis r = {em.pos, (uint32_t)em.e | ((uint32_t)elig << 31)};
-        rv_push(&k->rj, r);
+        rv_push(&k->rj, em.pos, (i64)em.e, elig);
     } else {
-        SEmis s = {em.pos, em.s, em.e, (uint32_t)k->rj.n,
+        SEmis s = {em.pos, em.s, em.e, (uint32_t)k->rj.cnt,
                    em.sub, (uint8_t)(em.sub == 0 && follow), 0};
         sv_push(&k->sv, s);
     }
@@ -2430,24 +2513,24 @@ static void run_anchored_scan(RibbitCore *c) {
     {
         const i64 KMAX = (i64)1 << 62;
         i32 nch = c->nmotifs;
-        i64 *rcur = (i64 *)xcalloc((size_t)nch, sizeof(i64));
+        RDec *rdec = (RDec *)xmalloc((size_t)nch * sizeof(RDec));
+        SDec *sdec = (SDec *)xmalloc((size_t)nch * sizeof(SDec));
         i64 *rkey = (i64 *)xmalloc((size_t)nch * sizeof(i64));
-        i64 *snext = (i64 *)xcalloc((size_t)nch, sizeof(i64));
         uint64_t *heap = (uint64_t *)xmalloc((size_t)nch * sizeof(uint64_t));
         i32 hn = 0;
         for (i32 d = 0; d < nch; d++) {
-            rkey[d] = sink[d].rj.n
-                          ? (((i64)sink[d].rj.d[0].pos << 16) | d) : KMAX;
-            if (sink[d].sv.n)
+            rdec_init(&rdec[d], &sink[d].rj);
+            rkey[d] = rdec[d].valid
+                          ? (((i64)rdec[d].pos << 16) | d) : KMAX;
+            sdec_init(&sdec[d], &sink[d].sv);
+            if (sdec[d].valid)
                 u64heap_push(heap, &hn,
-                             ((uint64_t)sink[d].sv.d[0].pos << 16)
-                                 | (uint64_t)d);
+                             ((uint64_t)sdec[d].pos << 16) | (uint64_t)d);
         }
         while (hn) {
             i32 d = (i32)(heap[0] & 0xFFFF);
-            i64 i = snext[d];
-            SEmis ev = sink[d].sv.d[i];
-            i64 skey = ((i64)ev.pos << 16) | d;
+            SDec *ev = &sdec[d];
+            i64 skey = ((i64)ev->pos << 16) | d;
 
             /* fold every rejected event ordered before ev: strictly
              * smaller key in other channels (rejected entries there are
@@ -2456,33 +2539,26 @@ static void run_anchored_scan(RibbitCore *c) {
              * (ev.nrej counts them; equal-key cross-channel ties are
              * impossible — the key embeds the channel) */
             for (i32 dd = 0; dd < nch; dd++) {
-                RVec *w = &sink[dd].rj;
-                i64 j = rcur[dd];
+                RDec *r = &rdec[dd];
                 if (dd == d) {
-                    for (; j < (i64)ev.nrej; j++) {
-                        REmis *r = &w->d[j];
-                        if ((r->e_elig >> 31)
-                            && (i64)(r->e_elig & 0x7FFFFFFF) > pend)
-                            pend = (i64)(r->e_elig & 0x7FFFFFFF);
+                    while (r->valid && r->idx < ev->nrej) {
+                        if (r->elig && r->e > pend) pend = r->e;
+                        rdec_next(r);
                     }
                 } else {
                     if (rkey[dd] >= skey) continue;
-                    for (; j < w->n; j++) {
-                        REmis *r = &w->d[j];
-                        if ((((i64)r->pos << 16) | dd) >= skey) break;
-                        if ((r->e_elig >> 31)
-                            && (i64)(r->e_elig & 0x7FFFFFFF) > pend)
-                            pend = (i64)(r->e_elig & 0x7FFFFFFF);
+                    while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
+                        if (r->elig && r->e > pend) pend = r->e;
+                        rdec_next(r);
                     }
                 }
-                rcur[dd] = j;
-                rkey[dd] = j < w->n ? (((i64)w->d[j].pos << 16) | dd) : KMAX;
+                rkey[dd] = r->valid ? (((i64)r->pos << 16) | dd) : KMAX;
             }
 
             i64 m = c->min_motif + d;
-            if (ev.pos < c->L) {
+            if (ev->pos < c->L) {
                 ANCH_APPLY_PEND();
-                from = add_seed_anchored(c, ev.s, ev.e, m, cutoffs, from,
+                from = add_seed_anchored(c, ev->s, ev->e, m, cutoffs, from,
                                          RANK_A);
             } else {
                 /* global-next after an EOF emission is its own channel's
@@ -2490,20 +2566,19 @@ static void run_anchored_scan(RibbitCore *c) {
                  * "save both separately" pair (flag precomputed with the
                  * one-entry lookahead at generation) */
                 ANCH_APPLY_PEND();
-                FromIdx nf = add_seed_anchored(c, ev.s, ev.e, m, cutoffs,
+                FromIdx nf = add_seed_anchored(c, ev->s, ev->e, m, cutoffs,
                                                from, RANK_A);
-                if (ev.updates) from = nf;
+                if (ev->updates) from = nf;
             }
 
-            snext[d] = i + 1;
-            if (i + 1 < sink[d].sv.n)
-                heap[0] = ((uint64_t)sink[d].sv.d[i + 1].pos << 16)
-                          | (uint64_t)d;
+            sdec_next(ev);
+            if (ev->valid)
+                heap[0] = ((uint64_t)ev->pos << 16) | (uint64_t)d;
             else
                 heap[0] = heap[--hn];
             u64heap_sift_down(heap, hn);
         }
-        free(rcur); free(rkey); free(snext); free(heap);
+        free(rdec); free(sdec); free(rkey); free(heap);
     }
 #undef ANCH_APPLY_PEND
     ATICK("consume");
@@ -2642,6 +2717,23 @@ i64 ribbit_core_scan(RibbitCore *c) {
     if (timing) clock_gettime(CLOCK_MONOTONIC, &t0);
     if (!c->events_ready) generate_events(c);
     TICK("generate");
+    if (timing && getenv("RIBBIT_CORE_MEM")) {
+        i64 bperf = 0, bq7 = 0, bsv = 0, brj = 0, bov = 0;
+        for (i32 d = 0; d < c->nmotifs; d++) {
+            if (c->perf_s) bperf += (c->perf_s[d].cap + c->perf_e[d].cap) * 4;
+            if (c->q7_emis) bq7 += c->q7_emis[d].cap * (i64)sizeof(Emis);
+            if (c->q6_sink) {
+                bsv += c->q6_sink[d].sv.cap;
+                brj += c->q6_sink[d].rj.cap;
+            }
+        }
+        if (c->ov_pack) bov = (i64)c->nmotifs * c->ov_words * 8;
+        fprintf(stderr, "[core] mem perf=%lldM q7=%lldM sv=%lldM rj=%lldM "
+                "ov=%lldM seq=%lldM\n", (long long)(bperf >> 20),
+                (long long)(bq7 >> 20), (long long)(bsv >> 20),
+                (long long)(brj >> 20), (long long)(bov >> 20),
+                (long long)(c->L >> 20));
+    }
     c->overlay_phase = 0;
     run_perfect_scan(c);
     if (timing)
