@@ -58,6 +58,17 @@ static void *xcalloc(size_t n, size_t sz) {
     return q;
 }
 
+/* phase-boundary RSS snapshot (diagnostics; RIBBIT_CORE_MEM) */
+static void print_rss(const char *label) {
+    FILE *st = fopen("/proc/self/status", "r");
+    if (!st) return;
+    char ln[256];
+    while (fgets(ln, sizeof ln, st))
+        if (!strncmp(ln, "VmRSS", 5))
+            fprintf(stderr, "[core] rss.%-10s %s", label, ln + 6);
+    fclose(st);
+}
+
 /* rank constants (global_variables.cpp:29-35) */
 #define RANK_P 5
 #define RANK_Q 4
@@ -492,6 +503,36 @@ static i64 overlay_longest_run(const RibbitCore *c, i32 midx, i64 a, i64 b) {
     }
     free(buf);
     return best;
+}
+
+/* has-run-of->=3 query (the only longest-run question refinement asks:
+ * parse_seed.cpp gates on CONTINUOUS_ONES_THRESHOLD == 3).  With the
+ * packed overlay present it defers to the exact kernel; without it the
+ * recompute runs in small chunks with early exit, so dropping the
+ * ~12.4 B/bp overlay cache before refinement costs ~nothing. */
+static int overlay_has_run3(const RibbitCore *c, i32 midx, i64 a, i64 b) {
+    i64 shift = (i64)midx + c->min_shift;
+    if (midx < 0) shift += c->nshifts;
+    if (a < 0) a = 0;
+    if (b > c->L) b = c->L;
+    if (b <= a) return 0;
+    if (shift >= c->min_motif && shift <= c->max_motif
+        && c->ov_pack && c->ov_pack[shift - c->min_motif])
+        return pack_longest_run(c->ov_pack[shift - c->min_motif], a, b) >= 3;
+    uint8_t buf[512];
+    i64 cur = 0;
+    for (i64 p = a; p < b; p += (i64)sizeof(buf)) {
+        i64 hi = p + (i64)sizeof(buf) < b ? p + (i64)sizeof(buf) : b;
+        if (shift < c->min_motif || shift > c->max_motif)
+            eq_fill(c, shift, p, hi - p, buf);
+        else
+            overlay_fill(c, shift, p, hi, buf);
+        for (i64 i = 0; i < hi - p; i++) {
+            if (buf[i]) { if (++cur >= 3) return 1; }
+            else cur = 0;
+        }
+    }
+    return 0;
 }
 
 static i64 core_bitcount(const RibbitCore *c, i32 midx, i64 a, i64 b) {
@@ -2713,6 +2754,7 @@ i64 ribbit_core_scan(RibbitCore *c) {
     clock_gettime(CLOCK_MONOTONIC, &t1); \
     fprintf(stderr, "[core] %-12s %.3fs\n", label, \
             (double)(t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec)); \
+    if (getenv("RIBBIT_CORE_MEM")) print_rss(label); \
     t0 = t1; } } while (0)
     if (timing) clock_gettime(CLOCK_MONOTONIC, &t0);
     if (!c->events_ready) generate_events(c);
@@ -2785,6 +2827,21 @@ i64 ribbit_core_overlay_bitcount(RibbitCore *c, i32 midx, i64 a, i64 b) {
 
 i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b) {
     return overlay_longest_run(c, midx, a, b);
+}
+
+i32 ribbit_core_overlay_run3(RibbitCore *c, i32 midx, i64 a, i64 b) {
+    return (i32)overlay_has_run3(c, midx, a, b);
+}
+
+/* release the packed overlay cache (12.4 B/bp); refinement's run3 query
+ * falls back to chunked early-exit recompute */
+void ribbit_core_drop_overlay(RibbitCore *c) {
+    if (c->ov_pack) {
+        for (i32 d = 0; d < c->nmotifs; d++) free(c->ov_pack[d]);
+        free(c->ov_pack);
+        c->ov_pack = NULL;
+        malloc_trim(0);
+    }
 }
 
 void ribbit_core_destroy(RibbitCore *c) {

@@ -45,6 +45,7 @@ i32 ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
 /* from ribbit_core.c */
 typedef struct RibbitCore RibbitCore;
 i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b);
+int32_t ribbit_core_overlay_run3(RibbitCore *c, i32 midx, i64 a, i64 b);
 
 /* ------------------------------------------------------------------ */
 /* output buffer                                                      */
@@ -868,8 +869,8 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
     i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
 
     if ((double)(seed_end - seed_start) < 0.9 * (double)motif_length) return;
-    if (ribbit_core_overlay_longest_run(x->core, midx, seed_start, seed_end)
-        < CONTINUOUS_ONES_THRESHOLD) return;
+    if (!ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end))
+        return;
 
     i64 ppr_len = ppr_length_of(ssl, motif_length);
     /* motif_length is bounded only by the user's -M flag (the reference
@@ -967,8 +968,8 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
 static void process_seed_motifwise(RefineCtx *x, i64 seed_start, i64 seed_end,
                                    i64 motif_length, i64 seed_type, i32 midx) {
     i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
-    if (ribbit_core_overlay_longest_run(x->core, midx, seed_start, seed_end)
-        < CONTINUOUS_ONES_THRESHOLD) return;
+    if (!ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end))
+        return;
 
     MotifCands mc = possible_motifs(x, seed_start, ssl, motif_length);
     if (mc.n == 0) {
@@ -1042,21 +1043,29 @@ static void refine_one(RefineCtx *x, const i64 *seed, i32 min_shift) {
 #include <pthread.h>
 #include <unistd.h>
 
+/* Seeds are refined in blocks: workers fill one StrBuf per seed of the
+ * current block, the block is concatenated in seed order and its buffers
+ * freed before the next block starts.  Peak extra memory is one block of
+ * buffers (vs one StrBuf per seed for the whole genome: ~390 MB of array
+ * alone at 16M seeds), output stays byte-identical to the sequential
+ * order. */
+#define REFINE_BLOCK ((i64)1 << 16)
+
 typedef struct {
     RefineCtx proto;            /* shared read-only fields */
     const i64 *seeds;
-    i64 nseeds;
-    StrBuf *bufs;               /* one per seed, emission-order concat */
-    i64 next;                   /* atomic work cursor */
+    i64 blk_lo, blk_hi;         /* current block [lo, hi) */
+    StrBuf *bufs;               /* REFINE_BLOCK entries, reused per block */
+    i64 next;                   /* atomic work cursor within the block */
 } RefinePool;
 
 static void *refine_worker(void *arg) {
     RefinePool *p = (RefinePool *)arg;
     for (;;) {
         i64 k = __atomic_fetch_add(&p->next, 1, __ATOMIC_RELAXED);
-        if (k >= p->nseeds) break;
+        if (k >= p->blk_hi) break;
         RefineCtx x = p->proto;       /* per-task ctx; out -> seed's buffer */
-        x.out = &p->bufs[k];
+        x.out = &p->bufs[k - p->blk_lo];
         refine_one(&x, p->seeds + 4 * k, x.min_shift);
     }
     return NULL;
@@ -1105,10 +1114,6 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     pool.proto.seq_id_len = (i64)strlen(seq_id);
     pool.proto.out = NULL;
     pool.seeds = seeds;
-    pool.nseeds = nseeds;
-    pool.bufs = (StrBuf *)calloc((size_t)(nseeds > 0 ? nseeds : 1),
-                                 sizeof(StrBuf));
-    pool.next = 0;
 
     i64 nthreads = req_threads;
     if (nthreads <= 0) {
@@ -1125,34 +1130,37 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         x.out = &out;
         for (i64 k = 0; k < nseeds; k++)
             refine_one(&x, seeds + 4 * k, min_shift);
-        free(pool.bufs);
         if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
         *out_len = out.n;
         return out.d;
     }
 
+    pool.bufs = (StrBuf *)calloc((size_t)REFINE_BLOCK, sizeof(StrBuf));
     pthread_t *tids = (pthread_t *)malloc((size_t)nthreads * sizeof(pthread_t));
-    for (i64 t = 0; t < nthreads; t++)
-        pthread_create(&tids[t], NULL, refine_worker, &pool);
-    for (i64 t = 0; t < nthreads; t++)
-        pthread_join(tids[t], NULL);
-    free(tids);
-
-    i64 total = 0;
-    for (i64 k = 0; k < nseeds; k++) total += pool.bufs[k].n;
-    char *out = (char *)malloc((size_t)total + 1);
-    i64 pos = 0;
-    for (i64 k = 0; k < nseeds; k++) {
-        if (pool.bufs[k].n) {
-            memcpy(out + pos, pool.bufs[k].d, (size_t)pool.bufs[k].n);
-            pos += pool.bufs[k].n;
+    StrBuf out = {NULL, 0, 0};
+    for (i64 lo = 0; lo < nseeds; lo += REFINE_BLOCK) {
+        i64 hi = lo + REFINE_BLOCK < nseeds ? lo + REFINE_BLOCK : nseeds;
+        pool.blk_lo = lo;
+        pool.blk_hi = hi;
+        pool.next = lo;
+        i64 nt = nthreads;
+        if (nt > hi - lo) nt = hi - lo;
+        for (i64 t = 0; t < nt; t++)
+            pthread_create(&tids[t], NULL, refine_worker, &pool);
+        for (i64 t = 0; t < nt; t++)
+            pthread_join(tids[t], NULL);
+        for (i64 k = 0; k < hi - lo; k++) {
+            if (pool.bufs[k].n)
+                sb_append(&out, pool.bufs[k].d, pool.bufs[k].n);
+            free(pool.bufs[k].d);
+            pool.bufs[k] = (StrBuf){NULL, 0, 0};
         }
-        free(pool.bufs[k].d);
     }
-    out[pos] = 0;
+    free(tids);
     free(pool.bufs);
-    *out_len = pos;
-    return out;
+    if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
+    *out_len = out.n;
+    return out.d;
 }
 
 void ribbit_buffer_free(char *p) { free(p); }

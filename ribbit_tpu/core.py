@@ -62,6 +62,8 @@ def _get_core_lib_locked():
     lib.ribbit_core_overlay_longest_run.restype = ctypes.c_int64
     lib.ribbit_core_overlay_longest_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
+    lib.ribbit_core_drop_overlay.restype = None
+    lib.ribbit_core_drop_overlay.argtypes = [ctypes.c_void_p]
     lib.ribbit_core_destroy.restype = None
     lib.ribbit_core_destroy.argtypes = [ctypes.c_void_p]
     lib.ribbit_refine_run.restype = ctypes.POINTER(ctypes.c_char)
@@ -168,6 +170,11 @@ class CoreSession:
 
     def overlay_longest_run(self, midx: int, a: int, b: int) -> int:
         return self.lib.ribbit_core_overlay_longest_run(self.handle, midx, a, b)
+
+    def drop_overlay(self) -> None:
+        """Free the packed overlay cache (~12.4 B/bp); refinement's
+        has-run-of-3 gate falls back to chunked early-exit recompute."""
+        self.lib.ribbit_core_drop_overlay(self.handle)
 
     def close(self) -> None:
         if self.handle:

@@ -104,6 +104,12 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
             _refine_seeds(seeds.tolist(), sequence_id, sequence, L, code,
                           n_mask, cfg, emit, longest_run_for_channel)
         else:
+            # large contigs: hand back the packed overlay cache (~12.4 B/bp)
+            # before refinement — its only remaining consumer is the
+            # has-run-of-3 gate, which recomputes with early exit
+            if L >= int(os.environ.get("RIBBIT_OVERLAY_DROP_MIN",
+                                       64_000_000)):
+                sess.drop_overlay()
             for line in sess.refine(seeds, sequence, sequence_id):
                 emit(line)
     finally:
