@@ -38,11 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .config import RibbitConfig, ANCHOR_SIZE, WINDOW_LENGTH
 
-TILE = 512
+TILE = 1024
 CAP = 256            # run-length doubling cap (>= 2*max_shift)
 LPAD = 256           # left context so trail-doubling sees CAP history
-RPAD = 640           # right context: max_shift + EXT overhang
-EXT = 1152           # computed lane extent: >= LPAD + TILE + CAP + W, 128-mult
+RPAD = 768           # right context: max_shift + EXT overhang
+EXT = 1664           # computed lane extent: >= LPAD + TILE + CAP + W, 128-mult
 
 
 def _row_iota(nrows, width):
@@ -51,6 +51,15 @@ def _row_iota(nrows, width):
 
 def _lane_iota(nrows, width):
     return jax.lax.broadcasted_iota(jnp.int32, (nrows, width), 1)
+
+
+def _win8(x, nrows, width):
+    lane = _lane_iota(nrows, width)
+    for j in range(3):
+        step = 1 << j
+        x = x + jnp.where(lane >= width - step, 0,
+                          pltpu.roll(x, width - step, 1))
+    return x
 
 
 def _trail_ones(t, nrows, width):
@@ -63,9 +72,12 @@ def _trail_ones(t, nrows, width):
     return t
 
 
-def _lead_ones(t, nrows, width):
+def _lead_ones(t, nrows, width, steps=8):
+    """t[r, p] = min(2**steps, consecutive 1s starting at p) per row.
+    steps=7 (saturate at 128) is enough when the count is only compared
+    against thresholds <= 128 (the perfect cutoffs max at 100)."""
     lane = _lane_iota(nrows, width)
-    for j in range(8):
+    for j in range(steps):
         step = 1 << j
         shifted = jnp.where(lane >= width - step, 0,
                             pltpu.roll(t, width - step, 1))
@@ -117,26 +129,17 @@ def _kernel(L_ref, code_ref, nmask_ref, q7_ref, q6_ref, ps_ref, pm_ref,
         ov = ov | (rolled * ok)
 
     # N-free windows (shared across rows)
-    nw = nbuf[:, LPAD:LPAD + TILE + W]
-    nsum = nw[:, :TILE]
-    for w in range(1, W):
-        nsum = nsum + nw[:, w:TILE + w]
-    nfree = (nsum == 0)                               # (1, TILE) broadcasts
+    nfree = (_win8(nbuf[:, :EXT], 1, EXT)[:, LPAD:LPAD + TILE] == 0)
 
     # window popcounts on eq (threshold 7) and overlay (threshold 6)
-    eq_t = eq[:, LPAD:LPAD + TILE + W]
-    s8 = eq_t[:, :TILE]
-    ov_t = ov[:, LPAD:LPAD + TILE + W]
-    o8 = ov_t[:, :TILE]
-    for w in range(1, W):
-        s8 = s8 + eq_t[:, w:TILE + w]
-        o8 = o8 + ov_t[:, w:TILE + w]
+    s8 = _win8(eq, nsp, EXT)[:, LPAD:LPAD + TILE]
+    o8 = _win8(ov, nsp, EXT)[:, LPAD:LPAD + TILE]
     q7_ref[:, :] = ((s8 >= 7) & nfree).astype(jnp.int8)
     q6_ref[:, :] = ((o8 >= 6) & nfree).astype(jnp.int8)
 
     # perfect runs: eq & ~N, start flags with len >= per-motif cutoff
     pm = eq * (nbuf[:, :EXT] == 0)
-    lead_pm = _lead_ones(pm, nsp, EXT)
+    lead_pm = _lead_ones(pm, nsp, EXT, steps=7)
     sl = slice(LPAD, LPAD + TILE)
     pm_t = pm[:, sl]
     prev = pm[:, LPAD - 1:LPAD + TILE - 1]
@@ -188,7 +191,7 @@ def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
 
 def _nsp_of(cfg) -> int:
     ns = cfg.max_shift - cfg.min_shift + 1
-    return max(32, ((ns + 31) // 32) * 32)
+    return max(32, ((ns + 7) // 8) * 8)
 
 
 def generate_masks_pallas_v2(code: np.ndarray, n_mask: np.ndarray,
