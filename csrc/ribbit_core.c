@@ -1894,6 +1894,32 @@ static void merge_all_lists(RibbitCore *c, i64 from_index_perfect,
 
 typedef struct { i64 fip, fis; } FromIdx;
 
+/* env-gated (RIBBIT_CORE_PROF) consume-path section profile; the anchored
+ * consume is single-threaded so plain counters suffice */
+static uint64_t g_prof[8];
+static i64 g_prof_n[8];
+#define PROF_CALLS 0
+#define PROF_RESTARTS 1
+#define PROF_CAND 2
+#define PROF_CURSOR 4
+#define PROF_MAL 5
+#define PROF_LOOP 6
+#define PROF_TAIL 7
+#define PROF_FOLD 3
+static int g_prof_on = -1;
+static inline int prof_on(void) {
+    if (g_prof_on < 0) g_prof_on = getenv("RIBBIT_CORE_PROF") != NULL;
+    return g_prof_on;
+}
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#define PROF_T0(v) uint64_t v = prof_on() ? __rdtsc() : 0
+#define PROF_ADD(slot, v) do { if (prof_on())     g_prof[slot] += __rdtsc() - (v); } while (0)
+#else
+#define PROF_T0(v) uint64_t v = 0; (void)v
+#define PROF_ADD(slot, v) (void)(v)
+#endif
+
 /* The from-cursor advance (parse_anchored_shiftxor.cpp:121-137 semantics,
  * as in add_seed_anchored's entry block): step while the current entry's
  * start <= seed_end, clamped at n-1.  A stuck-at-barrier forward cursor is
@@ -1908,7 +1934,10 @@ static inline i64 advance_cursor(const SeedList *l, i64 from, i64 e) {
 static FromIdx add_seed_anchored(RibbitCore *c, i64 seed_start, i64 seed_end,
                                  i64 motif_length, const i64 *seedlen_cutoffs,
                                  FromIdx from, i64 seed_type) {
+    if (prof_on()) g_prof_n[PROF_CALLS]++;
 restart:;
+    if (prof_on()) g_prof_n[PROF_RESTARTS]++;
+    PROF_T0(tc0);
     SeedList *perfect = &c->perfect, *substut = &c->substut,
              *anchored = &c->anchored;
     i64 from_index_perfect = from.fip, from_index_substut = from.fis;
@@ -1931,15 +1960,20 @@ restart:;
     }
     from.fip = from_index_perfect;
     from.fis = from_index_substut;
+    PROF_ADD(PROF_CURSOR, tc0);
 
     if (seed_end - seed_start < seedlen_cutoffs[motif_length - c->min_motif])
         return from;
 
+    PROF_T0(tm0);
     IVec last_types = c->scr[4], last_indices = c->scr[5];
     iv_reset(&last_types);
     iv_reset(&last_indices);
     merge_all_lists(c, from_index_perfect, from_index_substut,
                     &last_types, &last_indices, seed_start);
+    PROF_ADD(PROF_MAL, tm0);
+    if (prof_on()) g_prof_n[PROF_CAND] += last_indices.n;
+    PROF_T0(tl0);
 
     i64 seed_rend = seed_end + motif_length;
     i64 seed_length = seed_end - seed_start;
@@ -1962,6 +1996,7 @@ restart:;
     iv_reset(&nestedin); iv_reset(&identical);
 
 #define ANCH_FREE_ALL() do { \
+    PROF_ADD(PROF_LOOP, tl0); \
     c->scr[4] = last_types; c->scr[5] = last_indices; \
     c->scr[6] = po_sp_factor; c->scr[7] = po_sp_factorsizes; \
     c->scr[8] = po_sp_factortypes; \
@@ -2559,10 +2594,26 @@ static void run_anchored_scan(RibbitCore *c) {
         i64 *rkey = (i64 *)xmalloc((size_t)nch * sizeof(i64));
         uint64_t *heap = (uint64_t *)xmalloc((size_t)nch * sizeof(uint64_t));
         i32 hn = 0;
+        /* lazy min-heap over the channels' next REJECTED keys: the fold
+         * touches only channels that actually hold records below the
+         * event key instead of scanning all nch per event (the scan was
+         * ~60% of consume at 250 Mb: 47M events x 99 channels).  Entries
+         * may go stale when the own-channel nrej drain advances a
+         * decoder; a popped entry that mismatches rkey[] is dropped and
+         * the current key re-pushed. */
+        uint64_t *rheap = (uint64_t *)xmalloc((size_t)(nch + 1)
+                                              * sizeof(uint64_t));
+        i64 rcap = nch + 1;
+        i32 rhn = 0;
+#define RHEAP_PUSH(k) do { \
+        if (rhn == rcap) { rcap += rcap >> 1; \
+            rheap = (uint64_t *)xrealloc(rheap, (size_t)rcap * 8); } \
+        u64heap_push(rheap, &rhn, (uint64_t)(k)); } while (0)
         for (i32 d = 0; d < nch; d++) {
             rdec_init(&rdec[d], &sink[d].rj);
             rkey[d] = rdec[d].valid
                           ? (((i64)rdec[d].pos << 16) | d) : KMAX;
+            if (rdec[d].valid) RHEAP_PUSH(rkey[d]);
             sdec_init(&sdec[d], &sink[d].sv);
             if (sdec[d].valid)
                 u64heap_push(heap, &hn,
@@ -2578,23 +2629,36 @@ static void run_anchored_scan(RibbitCore *c) {
              * all that can precede — the heap pops surviving keys in
              * global order), generation order < ev in ev's own channel
              * (ev.nrej counts them; equal-key cross-channel ties are
-             * impossible — the key embeds the channel) */
-            for (i32 dd = 0; dd < nch; dd++) {
+             * impossible — the key embeds the channel).  pend composes
+             * through max, so drain order across channels is free. */
+            PROF_T0(tf0);
+            {
+                RDec *r = &rdec[d];
+                int adv = r->valid && r->idx < ev->nrej;
+                while (r->valid && r->idx < ev->nrej) {
+                    if (r->elig && r->e > pend) pend = r->e;
+                    rdec_next(r);
+                }
+                if (adv) {
+                    rkey[d] = r->valid ? (((i64)r->pos << 16) | d) : KMAX;
+                    if (r->valid) RHEAP_PUSH(rkey[d]);
+                }
+            }
+            while (rhn && (i64)rheap[0] < skey) {
+                i32 dd = (i32)(rheap[0] & 0xFFFF);
+                uint64_t top = rheap[0];
+                rheap[0] = rheap[--rhn];
+                u64heap_sift_down(rheap, rhn);
+                if ((i64)top != rkey[dd]) continue;       /* stale */
                 RDec *r = &rdec[dd];
-                if (dd == d) {
-                    while (r->valid && r->idx < ev->nrej) {
-                        if (r->elig && r->e > pend) pend = r->e;
-                        rdec_next(r);
-                    }
-                } else {
-                    if (rkey[dd] >= skey) continue;
-                    while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
-                        if (r->elig && r->e > pend) pend = r->e;
-                        rdec_next(r);
-                    }
+                while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
+                    if (r->elig && r->e > pend) pend = r->e;
+                    rdec_next(r);
                 }
                 rkey[dd] = r->valid ? (((i64)r->pos << 16) | dd) : KMAX;
+                if (r->valid) RHEAP_PUSH(rkey[dd]);
             }
+            PROF_ADD(PROF_FOLD, tf0);
 
             i64 m = c->min_motif + d;
             if (ev->pos < c->L) {
@@ -2619,10 +2683,20 @@ static void run_anchored_scan(RibbitCore *c) {
                 heap[0] = heap[--hn];
             u64heap_sift_down(heap, hn);
         }
-        free(rdec); free(sdec); free(rkey); free(heap);
+        free(rdec); free(sdec); free(rkey); free(heap); free(rheap);
+#undef RHEAP_PUSH
     }
 #undef ANCH_APPLY_PEND
     ATICK("consume");
+    if (prof_on()) {
+        fprintf(stderr, "[core] prof calls=%lld restarts=%lld cand=%lld "
+                "cursor=%.2fGc mal=%.2fGc body=%.2fGc fold=%.2fGc\n",
+                (long long)g_prof_n[PROF_CALLS],
+                (long long)g_prof_n[PROF_RESTARTS],
+                (long long)g_prof_n[PROF_CAND],
+                g_prof[PROF_CURSOR] / 1e9, g_prof[PROF_MAL] / 1e9,
+                g_prof[PROF_LOOP] / 1e9, g_prof[PROF_FOLD] / 1e9);
+    }
 #undef ATICK
     free(cutoffs);
     for (i32 d = 0; d < c->nmotifs; d++) {
