@@ -443,6 +443,20 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
 /* forward pass + first-best-row location; picks the fused i16 sweep when
  * scores provably fit i16 (always for seed-refinement sizes), else the
  * legacy best-column path */
+/* phase profile (fwd/rev/band cycles, band cells); enabled by
+ * ribbit_refine.c when RIBBIT_CORE_PROF is set, flushed by its workers */
+__thread long long ribbit_align_tprof[4];
+int ribbit_align_prof_on = 0;
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#define AP_T0(v) uint64_t v = ribbit_align_prof_on ? __rdtsc() : 0
+#define AP_ADD(slot, v) do { if (ribbit_align_prof_on) \
+    ribbit_align_tprof[slot] += (long long)(__rdtsc() - (v)); } while (0)
+#else
+#define AP_T0(v) uint64_t v = 0; (void)v
+#define AP_ADD(slot, v) (void)(v)
+#endif
+
 static int32_t forward_locate(const int8_t *read, int32_t R,
                               const int8_t *ref, int32_t C,
                               int32_t terminate,
@@ -617,8 +631,10 @@ int ribbit_align(const int8_t *read, int32_t R,
     int32_t *bc = (int32_t *)malloc((size_t)R * sizeof(int32_t));
 
     int32_t end_ref, end_read;
+    AP_T0(tf0);
     int32_t score1 = forward_locate(read, R, ref, C, -1, H, E, bc,
                                     &end_ref, &end_read);
+    AP_ADD(0, tf0);
     if (end_ref < 0) {
         out[0] = 0; out[2] = -1; out[4] = R - 1;
         free(H); free(E); free(bc);
@@ -636,8 +652,10 @@ int ribbit_align(const int8_t *read, int32_t R,
     for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
     for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
     int32_t end_ref_rev, rev_read_idx;
+    AP_T0(tr0);
     forward_locate(read_rev, Rr, ref_rev, Cr, score1, H, E, bc,
                    &end_ref_rev, &rev_read_idx);
+    AP_ADD(1, tr0);
     int32_t ref_begin = end_ref - end_ref_rev;
     int32_t query_begin = end_read - rev_read_idx;
     out[1] = ref_begin;
@@ -653,9 +671,13 @@ int ribbit_align(const int8_t *read, int32_t R,
     int32_t ops_cap = 2 * (sub_ref_len + sub_read_len) + 8;
     int32_t *ops_len = (int32_t *)malloc((size_t)ops_cap * sizeof(int32_t));
     char *ops_ch = (char *)malloc((size_t)ops_cap);
+    AP_T0(tb0);
     int32_t nops = banded_sw(ref + ref_begin, sub_ref_len,
                              read + query_begin, sub_read_len,
                              score1, bw, ops_len, ops_ch, ops_cap);
+    AP_ADD(2, tb0);
+    if (ribbit_align_prof_on)
+        ribbit_align_tprof[3] += (long long)sub_read_len * (2 * bw + 1);
     free(H); free(E); free(bc);
     if (nops < 0) { free(ops_len); free(ops_ch); return 0; /* empty cigar */ }
 

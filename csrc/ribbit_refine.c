@@ -349,6 +349,51 @@ static i64 cigar_split(const char *cigar, COp **out) {
     return n;
 }
 
+/* env-gated (RIBBIT_CORE_PROF) refinement section profile: thread-local
+ * rdtsc accumulators flushed atomically per worker */
+#include <stdatomic.h>
+static _Atomic long long g_rprof[10];
+static __thread long long t_rprof[10];
+#define RP_SMALL 0
+#define RP_LARGE 1
+#define RP_GATE 2
+#define RP_PM 3
+#define RP_VOTE 4
+#define RP_ALIGN 5
+#define RP_CIGAR 6
+#define RP_NALIGN 7
+#define RP_CELLS 8
+#define RP_GPASS 9
+static int g_rprof_on = -1;
+static inline int rprof_on(void) {
+    if (g_rprof_on < 0) g_rprof_on = getenv("RIBBIT_CORE_PROF") != NULL;
+    return g_rprof_on;
+}
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#define RPROF_T0(v) uint64_t v = rprof_on() ? __rdtsc() : 0
+#define RPROF_ADD(slot, v) do { if (rprof_on())     t_rprof[slot] += (long long)(__rdtsc() - (v)); } while (0)
+#else
+#define RPROF_T0(v) uint64_t v = 0; (void)v
+#define RPROF_ADD(slot, v) (void)(v)
+#endif
+#define RPROF_N(slot, k) do { if (rprof_on()) t_rprof[slot] += (k); } while (0)
+extern __thread long long ribbit_align_tprof[4];
+extern int ribbit_align_prof_on;
+static _Atomic long long g_aprof[4];
+
+static void rprof_flush(void) {
+    if (!rprof_on()) return;
+    for (int i = 0; i < 10; i++) {
+        atomic_fetch_add(&g_rprof[i], t_rprof[i]);
+        t_rprof[i] = 0;
+    }
+    for (int i = 0; i < 4; i++) {
+        atomic_fetch_add(&g_aprof[i], ribbit_align_tprof[i]);
+        ribbit_align_tprof[i] = 0;
+    }
+}
+
 /* calculateTrimEdges (process_cigar.cpp:34-86) */
 static void calculate_trim_edges(float *purity, const i64 *ccigar_lengths,
                                  i64 ncc, i64 *alignment_length,
@@ -869,8 +914,12 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
     i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
 
     if ((double)(seed_end - seed_start) < 0.9 * (double)motif_length) return;
-    if (!ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end))
-        return;
+    RPROF_T0(tg0);
+    int gate = ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end);
+    RPROF_ADD(RP_GATE, tg0);
+    if (!gate) return;
+    RPROF_N(RP_GPASS, 1);
+    RPROF_N(RP_LARGE, 1);
 
     i64 ppr_len = ppr_length_of(ssl, motif_length);
     /* motif_length is bounded only by the user's -M flag (the reference
@@ -884,9 +933,11 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
         atomicity = atomicity_int(unit, (i32)motif_length);
         motif_int_to_bases(unit, (i32)motif_length, motif_bases);
     } else {
+        RPROF_T0(tv0);
         i32 mm = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
                                     (i32)seed_start, (i32)ssl,
                                     (i32)motif_length);
+        RPROF_ADD(RP_VOTE, tv0);
         for (i64 i = 0; i < motif_length; i++) {
             i64 p = mm + i;
             motif_bases[i] = (p < x->L) ? x->code[p] : 0;
@@ -912,14 +963,20 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
     if (seed_start + read_len > x->L) read_len = x->L - seed_start;
     int8_t *ppr = build_ppr(motif_bases, atomicity, ppr_len);
     i32 out6[6];
+    RPROF_T0(ta0);
     char *cigar = run_align(x->translated + seed_start, read_len, ppr,
                             ppr_len, out6);
+    RPROF_ADD(RP_ALIGN, ta0);
+    RPROF_N(RP_NALIGN, 1);
+    RPROF_N(RP_CELLS, read_len * ppr_len);
     free(ppr);
     if (cigar == NULL) { free(motif_bases); return; }
     if (cigar[0] == 0) { free(cigar); free(motif_bases); return; }
 
+    RPROF_T0(tcg0);
     CigarResult cr = process_cigar_with_pruning(
         seed_start, ssl, cigar, atomicity, x->minimum_length, x->tbl_size);
+    RPROF_ADD(RP_CIGAR, tcg0);
     free(cigar);
 
     i64 repeat_start = cr.repeat_start, repeat_end = cr.repeat_end;
@@ -968,10 +1025,16 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
 static void process_seed_motifwise(RefineCtx *x, i64 seed_start, i64 seed_end,
                                    i64 motif_length, i64 seed_type, i32 midx) {
     i64 ssl = n_trimmed_length(x, seed_start, seed_end, motif_length);
-    if (!ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end))
-        return;
+    RPROF_T0(tg0);
+    int gate = ribbit_core_overlay_run3(x->core, midx, seed_start, seed_end);
+    RPROF_ADD(RP_GATE, tg0);
+    if (!gate) return;
+    RPROF_N(RP_GPASS, 1);
+    RPROF_N(RP_SMALL, 1);
 
+    RPROF_T0(tp0);
     MotifCands mc = possible_motifs(x, seed_start, ssl, motif_length);
+    RPROF_ADD(RP_PM, tp0);
     if (mc.n == 0) {
         free(mc.motifs); free(mc.starts); free(mc.ends);
         return;
@@ -996,13 +1059,19 @@ static void process_seed_motifwise(RefineCtx *x, i64 seed_start, i64 seed_end,
         i64 ppr_len = ppr_length_of(msl, motif_length);
         int8_t *ppr = build_ppr(motif_bases, atomicity, ppr_len);
         i32 out6[6];
+        RPROF_T0(ta0);
         char *cigar = run_align(x->translated + ms, read_len, ppr, ppr_len,
                                 out6);
+        RPROF_ADD(RP_ALIGN, ta0);
+        RPROF_N(RP_NALIGN, 1);
+        RPROF_N(RP_CELLS, read_len * ppr_len);
         free(ppr);
         if (cigar == NULL) continue;
         if (cigar[0] == 0) { free(cigar); continue; }
 
+        RPROF_T0(tcg0);
         CigarResult cr = process_cigar_motifwise(ms, msl, cigar, atomicity);
+        RPROF_ADD(RP_CIGAR, tcg0);
         free(cigar);
         i64 repeat_length = cr.repeat_end - cr.repeat_start;
         i64 match_units = calculate_motif_units(x, cr.repeat_start,
@@ -1068,7 +1137,24 @@ static void *refine_worker(void *arg) {
         x.out = &p->bufs[k - p->blk_lo];
         refine_one(&x, p->seeds + 4 * k, x.min_shift);
     }
+    rprof_flush();
     return NULL;
+}
+
+static void rprof_report(void) {
+    if (!rprof_on()) return;
+    fprintf(stderr, "[refine] prof small=%lld large=%lld gpass=%lld "
+            "naln=%lld cells=%.2fG gate=%.2fGc pm=%.2fGc vote=%.2fGc "
+            "align=%.2fGc cigar=%.2fGc\n",
+            (long long)g_rprof[RP_SMALL], (long long)g_rprof[RP_LARGE],
+            (long long)g_rprof[RP_GPASS], (long long)g_rprof[RP_NALIGN],
+            g_rprof[RP_CELLS] / 1e9, g_rprof[RP_GATE] / 1e9,
+            g_rprof[RP_PM] / 1e9, g_rprof[RP_VOTE] / 1e9,
+            g_rprof[RP_ALIGN] / 1e9, g_rprof[RP_CIGAR] / 1e9);
+    fprintf(stderr, "[refine] prof align: fwd=%.2fGc rev=%.2fGc "
+            "band=%.2fGc bandcells=%.2fG\n",
+            g_aprof[0] / 1e9, g_aprof[1] / 1e9, g_aprof[2] / 1e9,
+            g_aprof[3] / 1e9);
 }
 
 /* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
@@ -1097,6 +1183,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         malloc_tuned = 1;
     }
     pthread_once(&rc_once, rc_build_tables);
+    ribbit_align_prof_on = rprof_on();
 
     RefinePool pool;
     pool.proto.core = core;
@@ -1130,6 +1217,8 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         x.out = &out;
         for (i64 k = 0; k < nseeds; k++)
             refine_one(&x, seeds + 4 * k, min_shift);
+        rprof_flush();
+        rprof_report();
         if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
         *out_len = out.n;
         return out.d;
@@ -1158,6 +1247,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     }
     free(tids);
     free(pool.bufs);
+    rprof_report();
     if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
     *out_len = out.n;
     return out.d;
