@@ -616,7 +616,8 @@ typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos;
  * deltas are nonnegative: (pos, sub) is monotone per channel and every
  * emission site sets pos >= e (pos = wf + W - 1 with wf > le = e; EOF
  * flushes use pos = L >= e). ~2.5 B/record vs 8 (15 -> ~4 B/bp). */
-typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos; } RVec;
+typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos;
+                 i64 prev_e; int e_desc; } RVec;
 
 static inline void sv_put(SVec *v, uint64_t x) {
     if (v->n + 10 > v->cap) {
@@ -676,33 +677,65 @@ static void rv_push(RVec *v, i32 pos, i64 e, int elig) {
     rv_put(v, (uint64_t)(pos - v->prev_pos));
     rv_put(v, ((uint64_t)(pos - e) << 1) | (uint64_t)elig);
     v->prev_pos = pos;
+    /* e is nondecreasing per channel by construction (le never moves
+     * back); verified here so the consume drain may fold only the LAST
+     * eligible record of an episode.  A violation flips the channel to
+     * the exact per-record fallback. */
+    if (e < v->prev_e) v->e_desc = 1;
+    v->prev_e = e;
     v->cnt++;
 }
 
-/* sequential decoder; `idx` = index of the currently decoded record */
-typedef struct { const uint8_t *p, *end; i64 idx; i32 pos; i64 e; int elig;
-                 int valid; } RDec;
+/* sequential decoder; `idx` = index of the current record, `p` points at
+ * its SECOND varint (the (pos - e, elig) field), which is decoded lazily:
+ * drains only need the LAST eligible record's e (per-channel e
+ * monotonicity, verified at encode time), so the common path just scans
+ * continuation bits.  elig is bit 0 of the second varint's first byte. */
+typedef struct { const uint8_t *p, *end; i64 idx; i32 pos;
+                 int valid, fast; } RDec;
 
-static inline uint64_t rdec_get(RDec *r) {
+static inline uint64_t vget(const uint8_t **pp) {
     uint64_t x = 0; int sh = 0; uint8_t b;
-    do { b = *r->p++; x |= (uint64_t)(b & 0x7F) << sh; sh += 7; }
+    do { b = *(*pp)++; x |= (uint64_t)(b & 0x7F) << sh; sh += 7; }
     while (b & 0x80);
     return x;
 }
 
+static inline void vskip(const uint8_t **pp) {
+    while (*(*pp)++ & 0x80) { }
+}
+
 static inline void rdec_next(RDec *r) {
+    vskip(&r->p);                      /* past current record's 2nd varint */
     if (r->p >= r->end) { r->valid = 0; return; }
-    r->pos += (i32)rdec_get(r);
-    uint64_t de = rdec_get(r);
-    r->e = (i64)r->pos - (i64)(de >> 1);
-    r->elig = (int)(de & 1);
+    r->pos += (i32)vget(&r->p);
     r->idx++;
 }
 
 static void rdec_init(RDec *r, const RVec *v) {
     r->p = v->d; r->end = v->d + v->n;
-    r->idx = -1; r->pos = 0; r->e = 0; r->elig = 0; r->valid = 1;
-    rdec_next(r);
+    r->idx = 0; r->pos = 0;
+    r->valid = v->n > 0;
+    r->fast = !v->e_desc;
+    if (r->valid) r->pos = (i32)vget(&r->p);
+}
+
+/* decode the saved record's e and fold it into *pend */
+static inline void rdec_fold_saved(const uint8_t *save, i64 save_pos,
+                                   i64 *pend) {
+    if (save) {
+        uint64_t de = vget(&save);
+        i64 e = save_pos - (i64)(de >> 1);
+        if (e > *pend) *pend = e;
+    }
+}
+
+/* exact per-record fold for a channel whose e order was flagged */
+static inline void rdec_fold_one(RDec *r, i64 *pend) {
+    const uint8_t *q = r->p;
+    uint64_t de = vget(&q);
+    if ((de & 1) && (i64)r->pos - (i64)(de >> 1) > *pend)
+        *pend = (i64)r->pos - (i64)(de >> 1);
 }
 
 typedef struct Q6Sink {
@@ -2635,9 +2668,18 @@ static void run_anchored_scan(RibbitCore *c) {
             {
                 RDec *r = &rdec[d];
                 int adv = r->valid && r->idx < ev->nrej;
-                while (r->valid && r->idx < ev->nrej) {
-                    if (r->elig && r->e > pend) pend = r->e;
-                    rdec_next(r);
+                if (r->fast) {
+                    const uint8_t *save = NULL; i64 spos = 0;
+                    while (r->valid && r->idx < ev->nrej) {
+                        if (*r->p & 1) { save = r->p; spos = r->pos; }
+                        rdec_next(r);
+                    }
+                    rdec_fold_saved(save, spos, &pend);
+                } else {
+                    while (r->valid && r->idx < ev->nrej) {
+                        rdec_fold_one(r, &pend);
+                        rdec_next(r);
+                    }
                 }
                 if (adv) {
                     rkey[d] = r->valid ? (((i64)r->pos << 16) | d) : KMAX;
@@ -2651,9 +2693,18 @@ static void run_anchored_scan(RibbitCore *c) {
                 u64heap_sift_down(rheap, rhn);
                 if ((i64)top != rkey[dd]) continue;       /* stale */
                 RDec *r = &rdec[dd];
-                while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
-                    if (r->elig && r->e > pend) pend = r->e;
-                    rdec_next(r);
+                if (r->fast) {
+                    const uint8_t *save = NULL; i64 spos = 0;
+                    while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
+                        if (*r->p & 1) { save = r->p; spos = r->pos; }
+                        rdec_next(r);
+                    }
+                    rdec_fold_saved(save, spos, &pend);
+                } else {
+                    while (r->valid && ((((i64)r->pos << 16) | dd) < skey)) {
+                        rdec_fold_one(r, &pend);
+                        rdec_next(r);
+                    }
                 }
                 rkey[dd] = r->valid ? (((i64)r->pos << 16) | dd) : KMAX;
                 if (r->valid) RHEAP_PUSH(rkey[dd]);

@@ -57,7 +57,9 @@ def main() -> int:
               f"contigs ...", file=sys.stderr)
         with open(fa, "w") as fh:
             for ci, size in enumerate(sizes):
-                sim = simulate(num_loci=size // 1100, seed=args.seed + ci,
+                # ~2660 bp per simulated locus (measured; keeps --mb
+                # equal to the actual generated genome size)
+                sim = simulate(num_loci=size // 2660, seed=args.seed + ci,
                                n_block_rate=0.1, name=f"chr{ci+1}")
                 fh.write(f">chr{ci+1}\n")
                 s = sim.sequence
