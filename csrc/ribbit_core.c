@@ -58,6 +58,25 @@ static void *xcalloc(size_t n, size_t sz) {
     return q;
 }
 
+/* Back large long-lived buffers with transparent huge pages (advisory; THP
+ * 'madvise' mode).  The packed overlay cache alone is ~12.4 B/bp (~3 GB at
+ * 250 Mb): with 4 KB pages its first-touch fault storm lands inside the
+ * threaded generation pass (mmap_sem contention was the prime suspect for
+ * the 15-59 s generate wall variance at fixed work, NOTES_ROUND2 queue #4);
+ * 2 MB pages cut the fault count 512x and the dTLB miss rate on every
+ * later overlay query. */
+#include <sys/mman.h>
+static void advise_huge(void *p, size_t n) {
+#ifdef MADV_HUGEPAGE
+    const uintptr_t HP = (uintptr_t)2 << 20;
+    uintptr_t a = ((uintptr_t)p + HP - 1) & ~(HP - 1);
+    uintptr_t e = ((uintptr_t)p + n) & ~(HP - 1);
+    if (e > a) madvise((void *)a, e - a, MADV_HUGEPAGE);
+#else
+    (void)p; (void)n;
+#endif
+}
+
 /* phase-boundary RSS snapshot (diagnostics; RIBBIT_CORE_MEM) */
 static void print_rss(const char *label) {
     FILE *st = fopen("/proc/self/status", "r");
@@ -1299,6 +1318,7 @@ static void generate_events(RibbitCore *c) {
 
     /* shared per-window N counts */
     uint8_t *n8 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
+    if (n8) advise_huge(n8, (size_t)(L + GEN_PAD));
     {
         uint8_t *nb = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
         uint8_t *s2 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
@@ -1317,8 +1337,11 @@ static void generate_events(RibbitCore *c) {
     if (L <= cache_max && !c->ov_pack) {
         c->ov_words = (L + 63) >> 6;
         c->ov_pack = (uint64_t **)calloc((size_t)nm, sizeof(uint64_t *));
-        for (i32 d = 0; d < nm; d++)
+        for (i32 d = 0; d < nm; d++) {
             c->ov_pack[d] = (uint64_t *)calloc((size_t)c->ov_words, 8);
+            if (c->ov_pack[d])
+                advise_huge(c->ov_pack[d], (size_t)c->ov_words * 8);
+        }
     }
 
     i64 nthreads = c->nthreads;

@@ -352,8 +352,8 @@ static i64 cigar_split(const char *cigar, COp **out) {
 /* env-gated (RIBBIT_CORE_PROF) refinement section profile: thread-local
  * rdtsc accumulators flushed atomically per worker */
 #include <stdatomic.h>
-static _Atomic long long g_rprof[10];
-static __thread long long t_rprof[10];
+static _Atomic long long g_rprof[12];
+static __thread long long t_rprof[12];
 #define RP_SMALL 0
 #define RP_LARGE 1
 #define RP_GATE 2
@@ -364,6 +364,8 @@ static __thread long long t_rprof[10];
 #define RP_NALIGN 7
 #define RP_CELLS 8
 #define RP_GPASS 9
+#define RP_MHIT 10
+#define RP_MCELLS 11
 static int g_rprof_on = -1;
 static inline int rprof_on(void) {
     if (g_rprof_on < 0) g_rprof_on = getenv("RIBBIT_CORE_PROF") != NULL;
@@ -384,7 +386,7 @@ static _Atomic long long g_aprof[4];
 
 static void rprof_flush(void) {
     if (!rprof_on()) return;
-    for (int i = 0; i < 10; i++) {
+    for (int i = 0; i < 12; i++) {
         atomic_fetch_add(&g_rprof[i], t_rprof[i]);
         t_rprof[i] = 0;
     }
@@ -657,13 +659,110 @@ static int8_t *build_ppr(const int8_t *motif_bases, i64 motif_len, i64 ppr_len) 
 
 /* run the SSW alignment; returns malloc'd cigar (NULL = "alignment is None"
  * i.e. a hard error, empty string = no cigar) plus the out ints */
-static char *run_align(const int8_t *read, i64 read_len, const int8_t *ref,
-                       i64 ref_len, i32 *out6) {
+static char *run_align_raw(const int8_t *read, i64 read_len, const int8_t *ref,
+                           i64 ref_len, i32 *out6) {
     i64 cap = 4 * (read_len + ref_len) + 64;
     char *buf = (char *)malloc((size_t)cap);
     int rc = ribbit_align(read, (i32)read_len, ref, (i32)ref_len, out6,
                           buf, (i32)cap);
     if (rc < 0) { free(buf); return NULL; }
+    return buf;
+}
+
+/* Content-addressed alignment memo.  Tandem-repeat refinement aligns the
+ * same (genome slice, pseudo-perfect repeat) pair repeatedly: overlapping
+ * seeds from different shift channels resolve to the same candidate
+ * (start, len, motif), and repetitive genomes contain byte-identical
+ * slices at many positions.  Alignment is a pure function of the two byte
+ * strings, so a per-thread direct-mapped cache keyed on content (hash +
+ * full memcmp verify, so parity is untouchable) short-circuits the O(R*C)
+ * DP.  Exactness: on hash-slot match the stored read/ref bytes are
+ * compared in full before reuse; any mismatch falls through to the real
+ * kernel. */
+#define AMEMO_BITS 13
+#define AMEMO_N ((i64)1 << AMEMO_BITS)
+#define AMEMO_MAX_BYTES ((i64)1 << 20) /* don't cache pathological pairs */
+typedef struct {
+    uint64_t hash;
+    i32 R, C;
+    i32 rc;                     /* <0: alignment returned NULL */
+    int8_t *read, *ref;         /* owned copies; read!=NULL marks occupancy */
+    i32 out6[6];
+    char *cigar;                /* owned copy, valid when rc >= 0 */
+} AMemoEnt;
+static __thread AMemoEnt *t_amemo;
+
+static void amemo_free(void) {
+    if (!t_amemo) return;
+    for (i64 i = 0; i < AMEMO_N; i++) {
+        free(t_amemo[i].read);
+        free(t_amemo[i].ref);
+        free(t_amemo[i].cigar);
+    }
+    free(t_amemo);
+    t_amemo = NULL;
+}
+
+static inline uint64_t amemo_hash(const int8_t *read, i64 R,
+                                  const int8_t *ref, i64 C) {
+    uint64_t h = 1469598103934665603ULL;
+    for (i64 i = 0; i < R; i++) h = (h ^ (uint8_t)read[i]) * 1099511628211ULL;
+    for (i64 i = 0; i < C; i++) h = (h ^ (uint8_t)ref[i]) * 1099511628211ULL;
+    h = (h ^ (uint64_t)R) * 1099511628211ULL;
+    h = (h ^ (uint64_t)C) * 1099511628211ULL;
+    return h;
+}
+
+static int g_amemo_on = -1;
+
+static char *run_align(const int8_t *read, i64 read_len, const int8_t *ref,
+                       i64 ref_len, i32 *out6) {
+    if (g_amemo_on < 0) {
+        const char *e = getenv("RIBBIT_ALIGN_MEMO");
+        g_amemo_on = !(e && e[0] == '0');
+    }
+    if (!g_amemo_on || read_len + ref_len > AMEMO_MAX_BYTES)
+        return run_align_raw(read, read_len, ref, ref_len, out6);
+    if (!t_amemo) {
+        t_amemo = (AMemoEnt *)calloc((size_t)AMEMO_N, sizeof(AMemoEnt));
+        if (!t_amemo) return run_align_raw(read, read_len, ref, ref_len, out6);
+    }
+    uint64_t h = amemo_hash(read, read_len, ref, ref_len);
+    AMemoEnt *e = &t_amemo[h & (AMEMO_N - 1)];
+    if (e->read && e->hash == h && e->R == (i32)read_len &&
+        e->C == (i32)ref_len &&
+        memcmp(e->read, read, (size_t)read_len) == 0 &&
+        memcmp(e->ref, ref, (size_t)ref_len) == 0) {
+        RPROF_N(RP_MHIT, 1);
+        RPROF_N(RP_MCELLS, read_len * ref_len);
+        memcpy(out6, e->out6, sizeof(e->out6));
+        if (e->rc < 0) return NULL;
+        char *buf = (char *)malloc(strlen(e->cigar) + 1);
+        if (!buf) return run_align_raw(read, read_len, ref, ref_len, out6);
+        strcpy(buf, e->cigar);
+        return buf;
+    }
+    char *buf = run_align_raw(read, read_len, ref, ref_len, out6);
+    /* replace the slot with the fresh result */
+    int8_t *rcopy = (int8_t *)malloc((size_t)(read_len > 0 ? read_len : 1));
+    int8_t *ccopy = (int8_t *)malloc((size_t)(ref_len > 0 ? ref_len : 1));
+    char *gcopy = buf ? (char *)malloc(strlen(buf) + 1) : NULL;
+    if (!rcopy || !ccopy || (buf && !gcopy)) {
+        free(rcopy); free(ccopy); free(gcopy);
+        return buf;
+    }
+    memcpy(rcopy, read, (size_t)read_len);
+    memcpy(ccopy, ref, (size_t)ref_len);
+    if (buf) strcpy(gcopy, buf);
+    free(e->read); free(e->ref); free(e->cigar);
+    e->hash = h;
+    e->R = (i32)read_len;
+    e->C = (i32)ref_len;
+    e->rc = buf ? 0 : -1;
+    e->read = rcopy;
+    e->ref = ccopy;
+    e->cigar = gcopy;
+    memcpy(e->out6, out6, sizeof(e->out6));
     return buf;
 }
 
@@ -1137,6 +1236,7 @@ static void *refine_worker(void *arg) {
         x.out = &p->bufs[k - p->blk_lo];
         refine_one(&x, p->seeds + 4 * k, x.min_shift);
     }
+    amemo_free();
     rprof_flush();
     return NULL;
 }
@@ -1152,9 +1252,10 @@ static void rprof_report(void) {
             g_rprof[RP_PM] / 1e9, g_rprof[RP_VOTE] / 1e9,
             g_rprof[RP_ALIGN] / 1e9, g_rprof[RP_CIGAR] / 1e9);
     fprintf(stderr, "[refine] prof align: fwd=%.2fGc rev=%.2fGc "
-            "band=%.2fGc bandcells=%.2fG\n",
+            "band=%.2fGc bandcells=%.2fG memo_hit=%lld memo_cells=%.2fG\n",
             g_aprof[0] / 1e9, g_aprof[1] / 1e9, g_aprof[2] / 1e9,
-            g_aprof[3] / 1e9);
+            g_aprof[3] / 1e9, (long long)g_rprof[RP_MHIT],
+            g_rprof[RP_MCELLS] / 1e9);
 }
 
 /* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
@@ -1217,6 +1318,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         x.out = &out;
         for (i64 k = 0; k < nseeds; k++)
             refine_one(&x, seeds + 4 * k, min_shift);
+        amemo_free();
         rprof_flush();
         rprof_report();
         if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
