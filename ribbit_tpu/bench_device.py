@@ -29,13 +29,16 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_scan(cfg=None, L: int = 1 << 20, reps: int = 6) -> dict:
+def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
     """Full-generation scan throughput over all motif channels, Mbp/s/chip.
 
-    Uses the sublane-parallel v2 kernel (scan_pallas_v2): one pallas_call
-    covers every shift channel, 17x the per-group v1 layout."""
+    Uses the manual-DMA v3 kernel (scan_pallas_v3): inputs stay in HBM and
+    stream through a double-buffered VMEM scratch, so the call length is
+    uncapped (v2's whole-input-in-VMEM spec topped out at ~1.5 Mbp) and
+    TILE=2048 fits, cutting halo overhead 1.63x -> 1.31x.  Measured on the
+    v5e chip: ~177 Mbp/s at L=2M, ~214 Mbp/s at L=4M vs v2's 95-121."""
     import numpy as np
-    from . import scan_pallas_v2 as v2
+    from . import scan_pallas_v3 as v2              # kernel under test (v3)
     if cfg is None:
         from .config import RibbitConfig
         cfg = RibbitConfig.create()
