@@ -35,8 +35,9 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
     Uses the manual-DMA v3 kernel (scan_pallas_v3): inputs stay in HBM and
     stream through a double-buffered VMEM scratch, so the call length is
     uncapped (v2's whole-input-in-VMEM spec topped out at ~1.5 Mbp) and
-    TILE=2048 fits, cutting halo overhead 1.63x -> 1.31x.  Measured on the
-    v5e chip: ~177 Mbp/s at L=2M, ~214 Mbp/s at L=4M vs v2's 95-121."""
+    TILE=3072 fits, cutting halo overhead 1.63x -> 1.21x.  Measured on the
+    v5e chip at L=4M: ~214 Mbp/s at TILE=2048, ~231 at TILE=3072, vs v2's
+    95-121 (TILE=4096 exceeds scoped VMEM)."""
     import numpy as np
     from . import scan_pallas_v3 as v2              # kernel under test (v3)
     if cfg is None:

@@ -7,9 +7,9 @@ on a 16 MB-VMEM v5e core and leaves no headroom to lengthen the tile
 copies each tile's halo'd slice into a double-buffered VMEM scratch with
 `pltpu.make_async_copy`, prefetching tile i+1 while tile i computes
 (NOTES_ROUND2 queue #6).  That removes the per-call length cap entirely
-and frees ~8x L bytes of VMEM, which buys TILE=2048: the halo overhead
-(LPAD+CAP+W extra lanes per tile) drops from 1.63x to 1.31x of the
-output width.
+and frees ~8x L bytes of VMEM, which buys TILE=3072: the halo overhead
+(LPAD+CAP+W extra lanes per tile) drops from 1.63x to 1.21x of the
+output width (4096 exceeds scoped VMEM by 2.1 MB at nsp=104).
 
 The compute body and all semantics are scan_pallas_v2's (same reference
 citations: fasta_utils.cpp:120-122, 146-160, 165,
@@ -32,7 +32,7 @@ from .config import RibbitConfig, ANCHOR_SIZE, WINDOW_LENGTH
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
                              _trail_ones, _lead_ones, _nsp_of)
 
-TILE = 2048
+TILE = 3072
 RPAD = 768           # right context: max_shift + EXT overhang
 # lane extent: >= LPAD + TILE + CAP + W, 128-multiple
 EXT = LPAD + TILE + CAP + 128
