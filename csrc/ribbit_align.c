@@ -445,7 +445,7 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
  * legacy best-column path */
 /* phase profile (fwd/rev/band cycles, band cells); enabled by
  * ribbit_refine.c when RIBBIT_CORE_PROF is set, flushed by its workers */
-__thread long long ribbit_align_tprof[4];
+__thread long long ribbit_align_tprof[6];   /* fwd, rev, band, bandcells, rev-skip, naln */
 int ribbit_align_prof_on = 0;
 #if defined(__x86_64__)
 #include <x86intrin.h>
@@ -475,13 +475,63 @@ static int32_t forward_locate(const int8_t *read, int32_t R,
     return s;
 }
 
+/* Banded traceback over a plane-major direction tape:
+ * dirs[plane * readLen * width_d + i * width_d + dcol]
+ * (align.py:273-320). Returns op count, or -1 on traceback error. */
+static int32_t band_traceback(const int8_t *dirs, int32_t readLen,
+                              int32_t refLen, int32_t w,
+                              int32_t *ops_len, char *ops_ch,
+                              int32_t ops_cap) {
+    int32_t width_d = w * 2 + 1;
+    size_t plane_sz = (size_t)readLen * width_d;
+    int32_t i = readLen - 1, j = refLen - 1;
+    int32_t e = 0, nops = 0;
+    char op = 'M', prev_op = 'M';
+    int32_t plane = 2;
+    int32_t err = 0;
+    while (i >= 0 && j > 0) {
+        int32_t off = i - w > 0 ? i - w : 0;
+        int32_t dcol = j - off;
+        int8_t d = dirs[(size_t)plane * plane_sz + (size_t)i * width_d + dcol];
+        switch (d) {
+            case 1: i--; j--; plane = 2; op = 'M'; break;
+            case 2: i--; plane = 0; op = 'I'; break;
+            case 3: i--; plane = 2; op = 'I'; break;
+            case 4: j--; plane = 1; op = 'D'; break;
+            case 5: j--; plane = 2; op = 'D'; break;
+            default: err = 1; break;
+        }
+        if (err) break;
+        if (op == prev_op) e++;
+        else {
+            if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = prev_op; nops++; }
+            prev_op = op;
+            e = 1;
+        }
+    }
+    if (err) return -1;
+    if (op == 'M') {
+        if (nops < ops_cap) { ops_len[nops] = e + 1; ops_ch[nops] = op; nops++; }
+    } else {
+        if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = op; nops++; }
+        if (nops < ops_cap) { ops_len[nops] = 1; ops_ch[nops] = 'M'; nops++; }
+    }
+    /* reverse */
+    for (int32_t a = 0, b = nops - 1; a < b; a++, b--) {
+        int32_t tl = ops_len[a]; ops_len[a] = ops_len[b]; ops_len[b] = tl;
+        char tc = ops_ch[a]; ops_ch[a] = ops_ch[b]; ops_ch[b] = tc;
+    }
+    return nops;
+}
+
 /* Banded affine-gap DP with doubling band width (align.py:banded_sw).
  * Emits run-length ops into (ops_len, ops_ch); returns op count, or -1 on
  * traceback error (caller emits an empty cigar, matching the spec). */
-static int32_t banded_sw(const int8_t *ref, int32_t refLen,
-                         const int8_t *read, int32_t readLen,
-                         int32_t target_score, int32_t band_width,
-                         int32_t *ops_len, char *ops_ch, int32_t ops_cap) {
+static int32_t banded_sw_scalar(const int8_t *ref, int32_t refLen,
+                                const int8_t *read, int32_t readLen,
+                                int32_t target_score, int32_t band_width,
+                                int32_t *ops_len, char *ops_ch,
+                                int32_t ops_cap) {
     int32_t length = refLen > readLen ? refLen : readLen;
     int64_t best = 0;           /* accumulates across band iterations */
     int8_t *dirs = NULL;
@@ -492,9 +542,10 @@ static int32_t banded_sw(const int8_t *ref, int32_t refLen,
         w = band_width;
         int32_t width = w * 2 + 3;
         int32_t width_d = w * 2 + 1;
+        size_t plane_sz = (size_t)readLen * width_d;
 
-        dirs = (int8_t *)realloc(dirs, (size_t)readLen * width_d * 3);
-        memset(dirs, 0, (size_t)readLen * width_d * 3);
+        dirs = (int8_t *)realloc(dirs, plane_sz * 3);
+        memset(dirs, 0, plane_sz * 3);
         h_b = (int64_t *)realloc(h_b, (size_t)width * sizeof(int64_t));
         e_b = (int64_t *)realloc(e_b, (size_t)width * sizeof(int64_t));
         h_c = (int64_t *)realloc(h_c, (size_t)width * sizeof(int64_t));
@@ -512,7 +563,9 @@ static int32_t banded_sw(const int8_t *ref, int32_t refLen,
             int32_t off_im1 = i - 1 - w > 0 ? i - 1 - w : 0;
 
             int64_t fp = 0, hcp = 0;   /* f[j-1], h_c[j-1]; 0 at row start */
-            int8_t *dl = dirs + (size_t)i * width_d * 3;
+            int8_t *d0 = dirs + (size_t)i * width_d;
+            int8_t *d1 = d0 + plane_sz;
+            int8_t *d2 = d1 + plane_sz;
             for (int32_t j = beg; j <= end; j++) {
                 int32_t u = j - off_i + 1;
                 int32_t ec = j - off_im1 + 1;
@@ -536,9 +589,9 @@ static int32_t banded_sw(const int8_t *ref, int32_t refLen,
 
                 int8_t dh = (tmp1 <= diag) ? 1 : (e1 > f1 ? de : df);
                 int32_t dcol = j - off_i;
-                dl[dcol * 3 + 0] = de;
-                dl[dcol * 3 + 1] = df;
-                dl[dcol * 3 + 2] = dh;
+                d0[dcol] = de;
+                d1[dcol] = df;
+                d2[dcol] = dh;
 
                 /* carry previous-column values; write back band cells.
                  * e_b[u]/h_... writes land after this column's reads of the
@@ -563,49 +616,197 @@ static int32_t banded_sw(const int8_t *ref, int32_t refLen,
         }
     }
 
-    /* traceback (align.py:273-320) */
-    w = band_width;
-    int32_t width_d = w * 2 + 1;
-    int32_t i = readLen - 1, j = refLen - 1;
-    int32_t e = 0, nops = 0;
-    char op = 'M', prev_op = 'M';
-    int32_t plane = 2;
-    int32_t err = 0;
-    while (i >= 0 && j > 0) {
-        int32_t off = i - w > 0 ? i - w : 0;
-        int32_t dcol = j - off;
-        int8_t d = dirs[((size_t)i * width_d + dcol) * 3 + plane];
-        switch (d) {
-            case 1: i--; j--; plane = 2; op = 'M'; break;
-            case 2: i--; plane = 0; op = 'I'; break;
-            case 3: i--; plane = 2; op = 'I'; break;
-            case 4: j--; plane = 1; op = 'D'; break;
-            case 5: j--; plane = 2; op = 'D'; break;
-            default: err = 1; break;
-        }
-        if (err) break;
-        if (op == prev_op) e++;
-        else {
-            if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = prev_op; nops++; }
-            prev_op = op;
-            e = 1;
-        }
-    }
-    if (!err) {
-        if (op == 'M') {
-            if (nops < ops_cap) { ops_len[nops] = e + 1; ops_ch[nops] = op; nops++; }
-        } else {
-            if (nops < ops_cap) { ops_len[nops] = e; ops_ch[nops] = op; nops++; }
-            if (nops < ops_cap) { ops_len[nops] = 1; ops_ch[nops] = 'M'; nops++; }
-        }
-        /* reverse */
-        for (int32_t a = 0, b = nops - 1; a < b; a++, b--) {
-            int32_t tl = ops_len[a]; ops_len[a] = ops_len[b]; ops_len[b] = tl;
-            char tc = ops_ch[a]; ops_ch[a] = ops_ch[b]; ops_ch[b] = tc;
-        }
-    }
+    int32_t nops = band_traceback(dirs, readLen, refLen, band_width,
+                                  ops_len, ops_ch, ops_cap);
     free(dirs); free(h_b); free(e_b); free(h_c);
-    return err ? -1 : nops;
+    return nops;
+}
+
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Vectorized banded rows.  The only loop-carried term in a band row is
+ *   f[j] = max(f[j-1] - GAP_E, hc[j-1] - GAP_O)
+ * and since hc[j] = max(g[j], f[j]) with g[j] = max(e1[j], diag[j]) >= 0
+ * and GAP_E < GAP_O, it collapses to f[j] = max(f[j-1]-E, g[j-1]-O) with
+ * f[beg] = -GAP_E, whose closed form is a prefix max (GAP_E == 1):
+ *   f[j] = max( beg-1-j,  max_{k<j}(g[k] + k) - GAP_O - (j-1) )
+ * — the same blockwise prefix-max scan as the forward pass.  Every cell
+ * value and direction bit is arithmetically identical to the scalar row,
+ * so the tape and the traceback (and the CIGAR bytes) are unchanged. */
+static int32_t banded_sw_avx(const int8_t *ref, int32_t refLen,
+                             const int8_t *read, int32_t readLen,
+                             int32_t target_score, int32_t band_width,
+                             int32_t *ops_len, char *ops_ch,
+                             int32_t ops_cap) {
+    _Static_assert(GAP_E == 1, "f closed form assumes unit gap extension");
+    int32_t length = refLen > readLen ? refLen : readLen;
+    int64_t best = 0;           /* accumulates across band iterations */
+    int8_t *dirs = NULL;
+    int32_t *h_b = NULL, *e_b = NULL, *h_c = NULL;
+    int32_t w = band_width;
+    const int32_t NEG = -(1 << 30);
+    const __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                           10, 11, 12, 13, 14, 15);
+    const __m512i neg_blk = _mm512_set1_epi32(NEG);
+    const __m512i vO = _mm512_set1_epi32(GAP_O);
+    const __m512i vE = _mm512_set1_epi32(GAP_E);
+    const __m512i v2 = _mm512_set1_epi32(2);
+    const __m512i vm2 = _mm512_set1_epi32(-2);
+    const __m512i zero = _mm512_setzero_si512();
+
+    for (;;) {
+        w = band_width;
+        int32_t width = w * 2 + 3;
+        int32_t width_d = w * 2 + 1;
+        size_t plane_sz = (size_t)readLen * width_d;
+
+        dirs = (int8_t *)realloc(dirs, plane_sz * 3);
+        memset(dirs, 0, plane_sz * 3);
+        /* +16 lanes of slack: full-width unaligned loads past `edge` feed
+         * masked-off lanes only */
+        size_t wb = ((size_t)width + 16) * sizeof(int32_t);
+        h_b = (int32_t *)realloc(h_b, wb);
+        e_b = (int32_t *)realloc(e_b, wb);
+        h_c = (int32_t *)realloc(h_c, wb);
+        memset(h_b, 0, wb);
+        memset(e_b, 0, wb);
+        memset(h_c, 0, wb);
+
+        for (int32_t i = 0; i < readLen; i++) {
+            int32_t beg = i - w > 0 ? i - w : 0;
+            int32_t end = i + w < refLen - 1 ? i + w : refLen - 1;
+            int32_t edge = end + 1 < width - 1 ? end + 1 : width - 1;
+            h_b[0] = e_b[0] = 0;
+            h_b[edge] = e_b[edge] = 0;
+            int32_t off_i = i - w > 0 ? i - w : 0;
+            int32_t off_im1 = i - 1 - w > 0 ? i - 1 - w : 0;
+
+            int8_t *d0 = dirs + (size_t)i * width_d - off_i;
+            int8_t *d1 = d0 + plane_sz;
+            int8_t *d2 = d1 + plane_sz;
+            const __m512i readv = _mm512_set1_epi32(read[i]);
+            /* carries: P prefix (empty -> NEG), hc[j-1]/f[j-1] (0 at start
+             * matches the scalar's fp = hcp = 0) */
+            int32_t carryP = NEG, carry_hc = 0, carry_f = 0;
+            __m512i bestv = zero;
+            for (int32_t j0 = beg; j0 <= end; j0 += 16) {
+                int32_t rem = end - j0 + 1;
+                __mmask16 mk = rem >= 16 ? (__mmask16)0xFFFF
+                                         : (__mmask16)((1u << rem) - 1);
+                /* previous-row reads (h_b only rewritten after the row;
+                 * e_b stores of this block land at u <= ec so later blocks
+                 * never read them — same aliasing argument as the scalar) */
+                __m512i hprev = _mm512_loadu_si512(
+                    (const void *)(h_b + j0 - off_im1 + 1));
+                __m512i eprev = _mm512_loadu_si512(
+                    (const void *)(e_b + j0 - off_im1 + 1));
+                __m512i hdiag = _mm512_loadu_si512(
+                    (const void *)(h_b + j0 - off_im1));
+                __m512i t1 = _mm512_sub_epi32(hprev, vO);
+                __m512i t2 = _mm512_sub_epi32(eprev, vE);
+                __m512i e_new = _mm512_max_epi32(t1, t2);
+                __mmask16 de_m = _mm512_cmpgt_epi32_mask(t1, t2);
+                /* score(ref[j], read[i]): 2 iff equal and < 4, else -2;
+                 * masked ref load (ref may end exactly at the band edge) */
+                __m512i refw = _mm512_cvtepi8_epi32(
+                    _mm_maskz_loadu_epi8(mk, (const void *)(ref + j0)));
+                __mmask16 eq = _mm512_mask_cmpeq_epi32_mask(
+                    _mm512_cmplt_epi32_mask(refw, _mm512_set1_epi32(4)),
+                    refw, readv);
+                __m512i sc = _mm512_mask_mov_epi32(vm2, eq, v2);
+                __m512i diag = _mm512_add_epi32(hdiag, sc);
+                __m512i e1 = _mm512_max_epi32(e_new, zero);
+                __m512i g = _mm512_max_epi32(e1, diag);
+                /* A = g + j on live lanes, NEG elsewhere; blockwise
+                 * inclusive prefix max with running carry */
+                __m512i jv = _mm512_add_epi32(iota, _mm512_set1_epi32(j0));
+                __m512i A = _mm512_mask_add_epi32(neg_blk, mk, g, jv);
+                __m512i p = A;
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, neg_blk, 15));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, neg_blk, 14));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, neg_blk, 12));
+                p = _mm512_max_epi32(p, _mm512_alignr_epi32(p, neg_blk, 8));
+                p = _mm512_max_epi32(p, _mm512_set1_epi32(carryP));
+                __m512i pshift = _mm512_alignr_epi32(p, neg_blk, 15);
+                pshift = _mm512_mask_mov_epi32(pshift, 1,
+                                               _mm512_set1_epi32(carryP));
+                carryP = _mm512_cvtsi512_si32(
+                    _mm512_permutexvar_epi32(_mm512_set1_epi32(15), p));
+                /* f = max(beg-1-j, P[j-1] - GAP_O - (j-1)) */
+                __m512i fA = _mm512_sub_epi32(
+                    _mm512_sub_epi32(pshift, vO),
+                    _mm512_sub_epi32(jv, _mm512_set1_epi32(1)));
+                __m512i fB = _mm512_sub_epi32(_mm512_set1_epi32(beg - 1), jv);
+                __m512i f = _mm512_max_epi32(fA, fB);
+                __m512i f1 = _mm512_max_epi32(f, zero);
+                __m512i tmp1 = _mm512_max_epi32(e1, f1);
+                __m512i hc = _mm512_max_epi32(tmp1, diag);
+                /* df compares hc[j-1]-O vs f[j-1]-E (slide-1 with carries) */
+                __m512i hcsh = _mm512_alignr_epi32(hc, neg_blk, 15);
+                hcsh = _mm512_mask_mov_epi32(hcsh, 1,
+                                             _mm512_set1_epi32(carry_hc));
+                __m512i fsh = _mm512_alignr_epi32(f, neg_blk, 15);
+                fsh = _mm512_mask_mov_epi32(fsh, 1,
+                                            _mm512_set1_epi32(carry_f));
+                __mmask16 df_m = _mm512_cmpgt_epi32_mask(
+                    _mm512_sub_epi32(hcsh, vO), _mm512_sub_epi32(fsh, vE));
+                carry_hc = _mm512_cvtsi512_si32(
+                    _mm512_permutexvar_epi32(_mm512_set1_epi32(15), hc));
+                carry_f = _mm512_cvtsi512_si32(
+                    _mm512_permutexvar_epi32(_mm512_set1_epi32(15), f));
+                /* dh = (tmp1 <= diag) ? 1 : (e1 > f1 ? de : df) */
+                __mmask16 m1 = _mm512_cmple_epi32_mask(tmp1, diag);
+                __mmask16 me = _mm512_cmpgt_epi32_mask(e1, f1);
+                __m512i de_v = _mm512_mask_mov_epi32(
+                    v2, de_m, _mm512_set1_epi32(3));
+                __m512i df_v = _mm512_mask_mov_epi32(
+                    _mm512_set1_epi32(4), df_m, _mm512_set1_epi32(5));
+                __m512i dh_v = _mm512_mask_mov_epi32(
+                    _mm512_mask_mov_epi32(df_v, me, de_v), m1,
+                    _mm512_set1_epi32(1));
+                /* stores */
+                int32_t u0 = j0 - off_i + 1;
+                _mm512_mask_storeu_epi32((void *)(e_b + u0), mk, e_new);
+                _mm512_mask_storeu_epi32((void *)(h_c + u0), mk, hc);
+                _mm_mask_storeu_epi8((void *)(d0 + j0), mk,
+                                     _mm512_cvtepi32_epi8(de_v));
+                _mm_mask_storeu_epi8((void *)(d1 + j0), mk,
+                                     _mm512_cvtepi32_epi8(df_v));
+                _mm_mask_storeu_epi8((void *)(d2 + j0), mk,
+                                     _mm512_cvtepi32_epi8(dh_v));
+                bestv = _mm512_max_epi32(bestv,
+                                         _mm512_maskz_mov_epi32(mk, hc));
+            }
+            int32_t row_best = _mm512_reduce_max_epi32(bestv);
+            if (row_best > best) best = row_best;
+            memcpy(h_b + (beg - off_i + 1), h_c + (beg - off_i + 1),
+                   (size_t)(end - beg + 1) * sizeof(int32_t));
+        }
+        band_width *= 2;
+        if (!(best < target_score && band_width <= length)) {
+            band_width /= 2;
+            break;
+        }
+    }
+
+    int32_t nops = band_traceback(dirs, readLen, refLen, band_width,
+                                  ops_len, ops_ch, ops_cap);
+    free(dirs); free(h_b); free(e_b); free(h_c);
+    return nops;
+}
+#endif  /* __AVX512BW__ && __AVX512VL__ */
+
+static int32_t banded_sw(const int8_t *ref, int32_t refLen,
+                         const int8_t *read, int32_t readLen,
+                         int32_t target_score, int32_t band_width,
+                         int32_t *ops_len, char *ops_ch, int32_t ops_cap) {
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    /* i32 headroom: cells <= 2*min(R,C), A adds an index < refLen */
+    if ((int64_t)refLen + readLen < ((int64_t)1 << 29))
+        return banded_sw_avx(ref, refLen, read, readLen, target_score,
+                             band_width, ops_len, ops_ch, ops_cap);
+#endif
+    return banded_sw_scalar(ref, refLen, read, readLen, target_score,
+                            band_width, ops_len, ops_ch, ops_cap);
 }
 
 static int32_t emit_num(char *buf, int32_t pos, int32_t cap, int32_t v, char op) {
@@ -645,22 +846,46 @@ int ribbit_align(const int8_t *read, int32_t R,
     out[2] = end_ref;
     out[4] = end_read;
 
-    /* reverse pass on reversed prefixes, early-terminating at score1 */
-    int32_t Rr = end_read + 1, Cr = end_ref + 1;
-    int8_t *read_rev = (int8_t *)malloc((size_t)Rr);
-    int8_t *ref_rev = (int8_t *)malloc((size_t)Cr);
-    for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
-    for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
-    int32_t end_ref_rev, rev_read_idx;
-    AP_T0(tr0);
-    forward_locate(read_rev, Rr, ref_rev, Cr, score1, H, E, bc,
-                   &end_ref_rev, &rev_read_idx);
-    AP_ADD(1, tr0);
-    int32_t ref_begin = end_ref - end_ref_rev;
-    int32_t query_begin = end_read - rev_read_idx;
+    /* Perfect-diagonal shortcut: when score1 == 2K and the K-cell diagonal
+     * ending at (end_read, end_ref) is all matches, the reverse pass must
+     * terminate at reversed column K-1 (a local score within c columns is
+     * at most 2c, so no earlier column reaches 2K) and its first best row
+     * there is K-1 (rows j < K-1 are bounded by 2(j+1) < 2K).  So
+     * (end_ref_rev, rev_read_idx) = (K-1, K-1) exactly, and the O(R*C)
+     * reverse DP is skipped. */
+    int32_t ref_begin, query_begin;
+    int32_t K = score1 >> 1;
+    int perfect = (score1 & 1) == 0 && K >= 1 && K <= end_read + 1 &&
+                  K <= end_ref + 1 && score1 < WORD_MAX;
+    if (perfect) {
+        for (int32_t t = 0; t < K; t++) {
+            int8_t a = read[end_read - t], b = ref[end_ref - t];
+            if (a != b || a >= 4) { perfect = 0; break; }
+        }
+    }
+    if (ribbit_align_prof_on) ribbit_align_tprof[5]++;
+    if (perfect) {
+        if (ribbit_align_prof_on) ribbit_align_tprof[4]++;
+        ref_begin = end_ref - (K - 1);
+        query_begin = end_read - (K - 1);
+    } else {
+        /* reverse pass on reversed prefixes, early-terminating at score1 */
+        int32_t Rr = end_read + 1, Cr = end_ref + 1;
+        int8_t *read_rev = (int8_t *)malloc((size_t)Rr);
+        int8_t *ref_rev = (int8_t *)malloc((size_t)Cr);
+        for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
+        for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
+        int32_t end_ref_rev, rev_read_idx;
+        AP_T0(tr0);
+        forward_locate(read_rev, Rr, ref_rev, Cr, score1, H, E, bc,
+                       &end_ref_rev, &rev_read_idx);
+        AP_ADD(1, tr0);
+        ref_begin = end_ref - end_ref_rev;
+        query_begin = end_read - rev_read_idx;
+        free(read_rev); free(ref_rev);
+    }
     out[1] = ref_begin;
     out[3] = query_begin;
-    free(read_rev); free(ref_rev);
 
     /* banded traceback on the located subsequences */
     int32_t sub_ref_len = end_ref - ref_begin + 1;

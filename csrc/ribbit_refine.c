@@ -380,9 +380,9 @@ static inline int rprof_on(void) {
 #define RPROF_ADD(slot, v) (void)(v)
 #endif
 #define RPROF_N(slot, k) do { if (rprof_on()) t_rprof[slot] += (k); } while (0)
-extern __thread long long ribbit_align_tprof[4];
+extern __thread long long ribbit_align_tprof[6];
 extern int ribbit_align_prof_on;
-static _Atomic long long g_aprof[4];
+static _Atomic long long g_aprof[6];
 
 static void rprof_flush(void) {
     if (!rprof_on()) return;
@@ -390,7 +390,7 @@ static void rprof_flush(void) {
         atomic_fetch_add(&g_rprof[i], t_rprof[i]);
         t_rprof[i] = 0;
     }
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < 6; i++) {
         atomic_fetch_add(&g_aprof[i], ribbit_align_tprof[i]);
         ribbit_align_tprof[i] = 0;
     }
@@ -1252,10 +1252,12 @@ static void rprof_report(void) {
             g_rprof[RP_PM] / 1e9, g_rprof[RP_VOTE] / 1e9,
             g_rprof[RP_ALIGN] / 1e9, g_rprof[RP_CIGAR] / 1e9);
     fprintf(stderr, "[refine] prof align: fwd=%.2fGc rev=%.2fGc "
-            "band=%.2fGc bandcells=%.2fG memo_hit=%lld memo_cells=%.2fG\n",
+            "band=%.2fGc bandcells=%.2fG memo_hit=%lld memo_cells=%.2fG "
+            "revskip=%lld/%lld\n",
             g_aprof[0] / 1e9, g_aprof[1] / 1e9, g_aprof[2] / 1e9,
             g_aprof[3] / 1e9, (long long)g_rprof[RP_MHIT],
-            g_rprof[RP_MCELLS] / 1e9);
+            g_rprof[RP_MCELLS] / 1e9,
+            (long long)g_aprof[4], (long long)g_aprof[5]);
 }
 
 /* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
