@@ -28,6 +28,7 @@
 #include <stdio.h>
 #include <math.h>
 #include <malloc.h>
+#include <pthread.h>
 
 typedef int64_t i64;
 typedef int32_t i32;
@@ -352,8 +353,8 @@ static i64 cigar_split(const char *cigar, COp **out) {
 /* env-gated (RIBBIT_CORE_PROF) refinement section profile: thread-local
  * rdtsc accumulators flushed atomically per worker */
 #include <stdatomic.h>
-static _Atomic long long g_rprof[12];
-static __thread long long t_rprof[12];
+static _Atomic long long g_rprof[14];
+static __thread long long t_rprof[14];
 #define RP_SMALL 0
 #define RP_LARGE 1
 #define RP_GATE 2
@@ -366,6 +367,8 @@ static __thread long long t_rprof[12];
 #define RP_GPASS 9
 #define RP_MHIT 10
 #define RP_MCELLS 11
+#define RP_NVOTE 12
+#define RP_VHIT 13
 static int g_rprof_on = -1;
 static inline int rprof_on(void) {
     if (g_rprof_on < 0) g_rprof_on = getenv("RIBBIT_CORE_PROF") != NULL;
@@ -386,7 +389,7 @@ static _Atomic long long g_aprof[6];
 
 static void rprof_flush(void) {
     if (!rprof_on()) return;
-    for (int i = 0; i < 12; i++) {
+    for (int i = 0; i < 14; i++) {
         atomic_fetch_add(&g_rprof[i], t_rprof[i]);
         t_rprof[i] = 0;
     }
@@ -599,6 +602,102 @@ typedef struct {
     i64 seq_id_len;
     StrBuf *out;
 } RefineCtx;
+
+/* Content-addressed vote memo.  The diagonal vote
+ * (parse_seed.cpp:153-256, ribbit_vote.c) reads code/nmask only in
+ * [seed_start-1, seed_start+ssl): rows start at row >= seed_start and scan
+ * < M bases with row + M <= seed_end; columns are clamped below seed_end
+ * downstream, and upstream bases sit at >= ustream-2 > seed_start-2 with
+ * the prefix vote clamped at col >= seed_start.  Every clamp involving the
+ * contig length L is slack once seed_end + m + 2 <= L, so for interior
+ * seeds the winning row is a pure function of the content window plus
+ * (ssl, m), offset by seed_start.  Repetitive genomes re-pose the same
+ * question at many addresses (the align memo measures 85% content-duplicate
+ * alignments on the chromosome fixture), so a per-thread direct-mapped
+ * cache keyed on (window bytes, ssl, m) — hash + full memcmp verify, same
+ * exactness contract as the align memo — short-circuits the O(ssl*m) vote
+ * and stores the relative index.  Boundary seeds always run the kernel. */
+#define VCMEMO_BITS 13
+#define VCMEMO_N ((i64)1 << VCMEMO_BITS)
+#define VCMEMO_MAX_BYTES ((i64)1 << 18)
+typedef struct {
+    uint64_t hash;
+    i32 ssl, m, rel;
+    int8_t *win;                    /* owned copy: code span then nmask span */
+} VCMemoEnt;
+static __thread VCMemoEnt *t_vcmemo;
+
+static void vcmemo_free(void) {
+    if (!t_vcmemo) return;
+    for (i64 i = 0; i < VCMEMO_N; i++) free(t_vcmemo[i].win);
+    free(t_vcmemo);
+    t_vcmemo = NULL;
+}
+
+static inline uint64_t vc_mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 29;
+    return x;
+}
+
+static inline uint64_t vc_hash(const uint8_t *p, i64 n, uint64_t h) {
+    i64 i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t w;
+        memcpy(&w, p + i, 8);
+        h = vc_mix64(h ^ w);
+    }
+    uint64_t t = 0;
+    for (; i < n; i++) t = (t << 8) | p[i];
+    return vc_mix64(h ^ t ^ ((uint64_t)n << 56));
+}
+
+static int g_vcmemo_on = -1;
+
+static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
+                            i64 m) {
+    RPROF_N(RP_NVOTE, 1);
+    if (g_vcmemo_on < 0) {
+        const char *e = getenv("RIBBIT_VOTE_MEMO");
+        g_vcmemo_on = !(e && e[0] == '0');
+    }
+    i64 lo = seed_start - 1, span = ssl + 1;   /* window [lo, seed_end) */
+    if (!g_vcmemo_on || seed_start < 1 || seed_start + ssl + m + 2 > x->L ||
+        span > VCMEMO_MAX_BYTES)
+        return ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                                  (i32)seed_start, (i32)ssl, (i32)m);
+    if (!t_vcmemo) {
+        t_vcmemo = (VCMemoEnt *)calloc((size_t)VCMEMO_N, sizeof(VCMemoEnt));
+        if (!t_vcmemo)
+            return ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                                      (i32)seed_start, (i32)ssl, (i32)m);
+    }
+    uint64_t h = vc_hash((const uint8_t *)(x->code + lo), span,
+                         0x9E3779B97F4A7C15ULL ^ (uint64_t)ssl);
+    h = vc_hash(x->nmask + lo, span, h ^ (uint64_t)m);
+    VCMemoEnt *e = &t_vcmemo[h & (VCMEMO_N - 1)];
+    if (e->win && e->hash == h && e->ssl == (i32)ssl && e->m == (i32)m &&
+        memcmp(e->win, x->code + lo, (size_t)span) == 0 &&
+        memcmp(e->win + span, x->nmask + lo, (size_t)span) == 0) {
+        RPROF_N(RP_VHIT, 1);
+        return (i32)seed_start + e->rel;
+    }
+    i32 r = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                               (i32)seed_start, (i32)ssl, (i32)m);
+    int8_t *copy = (int8_t *)malloc((size_t)(2 * span));
+    if (copy) {
+        memcpy(copy, x->code + lo, (size_t)span);
+        memcpy(copy + span, x->nmask + lo, (size_t)span);
+        free(e->win);
+        e->hash = h;
+        e->ssl = (i32)ssl;
+        e->m = (i32)m;
+        e->rel = r - (i32)seed_start;
+        e->win = copy;
+    }
+    return r;
+}
 
 static i64 min_length_of(const RefineCtx *x, i64 m) {
     return (m >= 0 && m < x->tbl_size) ? x->minimum_length[m] : 0;
@@ -1033,9 +1132,7 @@ static void process_seed(RefineCtx *x, i64 seed_start, i64 seed_end,
         motif_int_to_bases(unit, (i32)motif_length, motif_bases);
     } else {
         RPROF_T0(tv0);
-        i32 mm = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
-                                    (i32)seed_start, (i32)ssl,
-                                    (i32)motif_length);
+        i32 mm = vote_longer_memo(x, seed_start, ssl, motif_length);
         RPROF_ADD(RP_VOTE, tv0);
         for (i64 i = 0; i < motif_length; i++) {
             i64 p = mm + i;
@@ -1237,6 +1334,7 @@ static void *refine_worker(void *arg) {
         refine_one(&x, p->seeds + 4 * k, x.min_shift);
     }
     amemo_free();
+    vcmemo_free();
     rprof_flush();
     return NULL;
 }
@@ -1253,11 +1351,12 @@ static void rprof_report(void) {
             g_rprof[RP_ALIGN] / 1e9, g_rprof[RP_CIGAR] / 1e9);
     fprintf(stderr, "[refine] prof align: fwd=%.2fGc rev=%.2fGc "
             "band=%.2fGc bandcells=%.2fG memo_hit=%lld memo_cells=%.2fG "
-            "revskip=%lld/%lld\n",
+            "revskip=%lld/%lld vote_hit=%lld/%lld\n",
             g_aprof[0] / 1e9, g_aprof[1] / 1e9, g_aprof[2] / 1e9,
             g_aprof[3] / 1e9, (long long)g_rprof[RP_MHIT],
             g_rprof[RP_MCELLS] / 1e9,
-            (long long)g_aprof[4], (long long)g_aprof[5]);
+            (long long)g_aprof[4], (long long)g_aprof[5],
+            (long long)g_rprof[RP_VHIT], (long long)g_rprof[RP_NVOTE]);
 }
 
 /* Refine a merged seed stream into BED text.  seeds: int64[nseeds*4]
@@ -1321,6 +1420,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
         for (i64 k = 0; k < nseeds; k++)
             refine_one(&x, seeds + 4 * k, min_shift);
         amemo_free();
+        vcmemo_free();
         rprof_flush();
         rprof_report();
         if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
