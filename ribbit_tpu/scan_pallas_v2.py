@@ -53,22 +53,38 @@ def _lane_iota(nrows, width):
     return jax.lax.broadcasted_iota(jnp.int32, (nrows, width), 1)
 
 
+# The per-step circular-roll boundary masks are dropped from all three
+# scan helpers (ablation: the doubling stages were 47%+21% of kernel time,
+# and the masks are 1-2 vector ops of each ~5-op step).  Exactness is a
+# dependency-cone argument on the tile geometry (LPAD = 256 left lanes,
+# CAP + 128 = 384 right lanes beyond the [LPAD, LPAD+TILE) output slice,
+# of which window sums read 7 lanes further right):
+#
+#   At doubling step 2^m, the only lanes reading circularly-wrapped values
+#   are j < 2^m (trail: roll right) or j >= width - 2^m (lead/win8: roll
+#   left).  The dependency cone of an output lane j at step m spans
+#   [j - (256 - 2^m), j] for trail and [j, j + (R - 2^m + 1)] for
+#   lead/win8 (R = total reach: 255, 127, or 7).  With j >= LPAD = 256 the
+#   trail cone minimum is >= 2^m, and with j + 7 <= width - 378 the
+#   lead/win8 cone maximum is < width - 2^m — so the cone never includes a
+#   lane that performed a wrapped read at any step, and wrapped garbage
+#   (which only ever lands outside every cone) cannot reach the output
+#   slice.  Validated bit-equal to the masked scan_pallas_full spec on the
+#   fixture suite (tests/test_pallas.py) and on-chip vs the oracle.
+
+
 def _win8(x, nrows, width):
-    lane = _lane_iota(nrows, width)
     for j in range(3):
         step = 1 << j
-        x = x + jnp.where(lane >= width - step, 0,
-                          pltpu.roll(x, width - step, 1))
+        x = x + pltpu.roll(x, width - step, 1)
     return x
 
 
 def _trail_ones(t, nrows, width):
     """t[r, p] = min(256, consecutive 1s ending at p) per row."""
-    lane = _lane_iota(nrows, width)
     for j in range(8):
         step = 1 << j
-        shifted = jnp.where(lane < step, 0, pltpu.roll(t, step, 1))
-        t = t + jnp.where(t == step, shifted, 0)
+        t = t + jnp.where(t == step, pltpu.roll(t, step, 1), 0)
     return t
 
 
@@ -76,12 +92,9 @@ def _lead_ones(t, nrows, width, steps=8):
     """t[r, p] = min(2**steps, consecutive 1s starting at p) per row.
     steps=7 (saturate at 128) is enough when the count is only compared
     against thresholds <= 128 (the perfect cutoffs max at 100)."""
-    lane = _lane_iota(nrows, width)
     for j in range(steps):
         step = 1 << j
-        shifted = jnp.where(lane >= width - step, 0,
-                            pltpu.roll(t, width - step, 1))
-        t = t + jnp.where(t == step, shifted, 0)
+        t = t + jnp.where(t == step, pltpu.roll(t, width - step, 1), 0)
     return t
 
 
