@@ -620,18 +620,27 @@ typedef struct {
 #define VCMEMO_BITS 13
 #define VCMEMO_N ((i64)1 << VCMEMO_BITS)
 #define VCMEMO_MAX_BYTES ((i64)1 << 18)
+/* total owned window bytes per thread; stop caching past this (the hit
+ * value concentrates in small windows, so a budget beats larger entries) */
+#define VCMEMO_BUDGET ((i64)64 << 20)
+/* rel sentinel for the kernel's default return (mmotif_index == 0, no row
+ * strictly won): that outcome is ABSOLUTE, not seed-relative, and is a pure
+ * function of the content window + (ssl, m), so replay it as absolute 0 */
+#define VCMEMO_REL_ZERO INT32_MIN
 typedef struct {
     uint64_t hash;
     i32 ssl, m, rel;
     int8_t *win;                    /* owned copy: code span then nmask span */
 } VCMemoEnt;
 static __thread VCMemoEnt *t_vcmemo;
+static __thread i64 t_vcmemo_bytes;
 
 static void vcmemo_free(void) {
     if (!t_vcmemo) return;
     for (i64 i = 0; i < VCMEMO_N; i++) free(t_vcmemo[i].win);
     free(t_vcmemo);
     t_vcmemo = NULL;
+    t_vcmemo_bytes = 0;
 }
 
 static inline uint64_t vc_mix64(uint64_t x) {
@@ -655,13 +664,18 @@ static inline uint64_t vc_hash(const uint8_t *p, i64 n, uint64_t h) {
 
 static int g_vcmemo_on = -1;
 
-static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
-                            i64 m) {
-    RPROF_N(RP_NVOTE, 1);
+/* resolve the env gate on the main thread (ribbit_refine_run) before any
+ * worker reads it — pthread_create gives the happens-before edge */
+static void vcmemo_resolve(void) {
     if (g_vcmemo_on < 0) {
         const char *e = getenv("RIBBIT_VOTE_MEMO");
         g_vcmemo_on = !(e && e[0] == '0');
     }
+}
+
+static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
+                            i64 m) {
+    RPROF_N(RP_NVOTE, 1);
     i64 lo = seed_start - 1, span = ssl + 1;   /* window [lo, seed_end) */
     if (!g_vcmemo_on || seed_start < 1 || seed_start + ssl + m + 2 > x->L ||
         span > VCMEMO_MAX_BYTES)
@@ -681,19 +695,27 @@ static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
         memcmp(e->win, x->code + lo, (size_t)span) == 0 &&
         memcmp(e->win + span, x->nmask + lo, (size_t)span) == 0) {
         RPROF_N(RP_VHIT, 1);
-        return (i32)seed_start + e->rel;
+        return e->rel == VCMEMO_REL_ZERO ? 0 : (i32)seed_start + e->rel;
     }
     i32 r = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
                                (i32)seed_start, (i32)ssl, (i32)m);
+    i64 net = 2 * span - (e->win ? 2 * (i64)(e->ssl + 1) : 0);
+    if (t_vcmemo_bytes + net > VCMEMO_BUDGET)
+        return r;                   /* per-thread residency cap */
     int8_t *copy = (int8_t *)malloc((size_t)(2 * span));
     if (copy) {
         memcpy(copy, x->code + lo, (size_t)span);
         memcpy(copy + span, x->nmask + lo, (size_t)span);
+        if (e->win)
+            t_vcmemo_bytes -= 2 * (i64)(e->ssl + 1);
+        t_vcmemo_bytes += 2 * span;
         free(e->win);
         e->hash = h;
         e->ssl = (i32)ssl;
         e->m = (i32)m;
-        e->rel = r - (i32)seed_start;
+        /* real winners satisfy r >= seed_start >= 1; r < seed_start is the
+         * kernel's absolute default 0 (e.g. ssl <= m after N-trimming) */
+        e->rel = r < (i32)seed_start ? VCMEMO_REL_ZERO : r - (i32)seed_start;
         e->win = copy;
     }
     return r;
@@ -814,12 +836,15 @@ static inline uint64_t amemo_hash(const int8_t *read, i64 R,
 
 static int g_amemo_on = -1;
 
-static char *run_align(const int8_t *read, i64 read_len, const int8_t *ref,
-                       i64 ref_len, i32 *out6) {
+static void amemo_resolve(void) {
     if (g_amemo_on < 0) {
         const char *e = getenv("RIBBIT_ALIGN_MEMO");
         g_amemo_on = !(e && e[0] == '0');
     }
+}
+
+static char *run_align(const int8_t *read, i64 read_len, const int8_t *ref,
+                       i64 ref_len, i32 *out6) {
     if (!g_amemo_on || read_len + ref_len > AMEMO_MAX_BYTES)
         return run_align_raw(read, read_len, ref, ref_len, out6);
     if (!t_amemo) {
@@ -1386,6 +1411,10 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     }
     pthread_once(&rc_once, rc_build_tables);
     ribbit_align_prof_on = rprof_on();
+    /* resolve env gates on this thread before workers exist (TSan-clean:
+     * pthread_create orders these writes before any worker read) */
+    amemo_resolve();
+    vcmemo_resolve();
 
     RefinePool pool;
     pool.proto.core = core;
@@ -1462,4 +1491,19 @@ void ribbit_buffer_free(char *p) { free(p); }
 /* test hook: expose the libstdc++ iteration-order simulation */
 void ribbit_umap_order(const i64 *keys, i64 n, i64 *out) {
     libstdcxx_order(keys, n, out);
+}
+
+/* test hook: drive vote_longer_memo directly so the memo's replay
+ * semantics (relative winners, absolute default-0 sentinel) can be
+ * regression-tested without needing a pipeline-reachable trigger.
+ * Shares this thread's memo across calls, exactly like refinement. */
+i32 ribbit_vote_memo_probe(const int8_t *code, const uint8_t *nmask, i64 L,
+                           i64 seed_start, i64 ssl, i64 m) {
+    vcmemo_resolve();
+    RefineCtx x;
+    memset(&x, 0, sizeof x);
+    x.code = code;
+    x.nmask = nmask;
+    x.L = L;
+    return vote_longer_memo(&x, seed_start, ssl, m);
 }

@@ -43,3 +43,27 @@ def test_memos_do_not_change_output(tmp_path):
     assert no_vote == default
     assert no_align == default
     assert no_both == default
+
+
+def test_memos_invariant_with_n_blocks(tmp_path):
+    """N-rich fixture: seeds adjacent to N blocks take the N-trimmed vote
+    paths (small ssl / masked votes), where the memo's default-0 replay
+    semantics matter (see tests/test_vote_memo.py for the unit-level
+    regression).  The sequence is duplicated so identical content windows
+    recur at two absolute addresses, forcing cross-address memo hits."""
+    fa = tmp_path / "n.fa"
+    sim = simulate(num_loci=40, seed=4242, min_motif=12, max_motif=80,
+                   name="n", n_block_rate=0.8, buffer_range=(60, 400))
+    seq = sim.sequence + sim.sequence
+    with open(fa, "w") as fh:
+        fh.write(">n\n")
+        for i in range(0, len(seq), 80):
+            fh.write(seq[i:i + 80] + "\n")
+
+    default = _run_cli(fa, tmp_path / "d.bed", {})
+    assert default
+    no_vote = _run_cli(fa, tmp_path / "nv.bed", {"RIBBIT_VOTE_MEMO": "0"})
+    no_both = _run_cli(fa, tmp_path / "nb.bed",
+                       {"RIBBIT_VOTE_MEMO": "0", "RIBBIT_ALIGN_MEMO": "0"})
+    assert no_vote == default
+    assert no_both == default
