@@ -41,9 +41,25 @@ static inline int64_t max64(int64_t a, int64_t b) { return a > b ? a : b; }
  * the WORD_MAX clamp (H <= 32767, |score| = 2).  Scratch reuses the
  * caller's i32 buffers reinterpreted as i16 (double the capacity);
  * best_col widens in place at the end. */
+/* band >= 0 restricts column i to rows |j - i| <= band.  EXACTNESS: used
+ * only on the reverse (terminate >= 0) pass with
+ * band = (2*min(R,C) - terminate - GAP_O)/GAP_E.  Any cell (j, i) on a
+ * terminate-achieving local alignment satisfies |j - i| <= band (reaching
+ * offset d costs >= GAP_O + |d|*GAP_E and matches are <= min(R, C)), so
+ * every achieving path lies fully in-band and its recurrence inputs are all
+ * in-band (adjacent path cells each satisfy the bound independently).
+ * Out-of-band contributions are dropped (treated as score 0), which can
+ * only LOWER computed cells, so no column terminates early and no spurious
+ * row reaches `terminate`; at the true terminating column the achieving
+ * cells compute exactly `terminate` (sandwich: >= their in-band path
+ * prefix, <= the true global max).  One subtlety: a row that leaves the
+ * band stops being recomputed only at block granularity, and the row just
+ * below the processed window is read once more as the j-1 diagonal — it is
+ * zeroed AFTER the column that legitimately reads its fresh value, so later
+ * reads see 0, never a stale (wrong-column) score. */
 static int32_t forward_pass_i16(const int8_t *read, int32_t R,
                                 const int8_t *ref, int32_t C,
-                                int32_t terminate,
+                                int32_t terminate, int32_t band,
                                 int32_t *H32, int32_t *E32,
                                 int32_t *best_col32, int32_t *end_ref) {
     int16_t *H = (int16_t *)H32;
@@ -54,6 +70,7 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
     memset(bc, 0, (size_t)R * sizeof(int16_t));
     int32_t best = 0;
     *end_ref = -1;
+    if (band >= 0 && (int64_t)2 * band + 1 >= R) band = -1;
 
     int32_t Rp = (R + 31) & ~31;             /* padded lane count */
     int16_t *h0 = (int16_t *)malloc((size_t)Rp * sizeof(int16_t));
@@ -67,12 +84,19 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
 
     for (int32_t i = 0; i < C; i++) {
         const int16_t *restrict srow = srows + (size_t)ref[i] * R;
+        int32_t wlo = 0, whi = R - 1;        /* inclusive row window */
+        if (band >= 0) {
+            wlo = i - band; if (wlo < 0) wlo = 0;
+            whi = i + band; if (whi > R - 1) whi = R - 1;
+        }
         /* pass 1: h0 = max(sat(H[j-1] + sc), E, 0) */
         {
-            int16_t d0 = srow[0];
-            int16_t v0 = d0 > E[0] ? d0 : E[0];
-            h0[0] = v0 > 0 ? v0 : 0;
-            for (int32_t j = 1; j < R; j++) {
+            if (wlo == 0) {
+                int16_t d0 = srow[0];
+                int16_t v0 = d0 > E[0] ? d0 : E[0];
+                h0[0] = v0 > 0 ? v0 : 0;
+            }
+            for (int32_t j = wlo > 0 ? wlo : 1; j <= whi; j++) {
                 int32_t diag = (int32_t)H[j - 1] + srow[j];
                 if (diag > WORD_MAX) diag = WORD_MAX;
                 int16_t v = (int16_t)diag > E[j] ? (int16_t)diag : E[j];
@@ -80,7 +104,9 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
             }
         }
         /* pass 2: F from the i32 prefix max of A[k] = h0[k] + k*GAP_E —
-         * AVX-512 blockwise prefix with widened h0 loads */
+         * AVX-512 blockwise prefix with widened h0 loads.  The prefix
+         * starts at wlo (window-local: lower rows carry no in-band paths);
+         * a scalar head runs to 16-alignment, seeding the vector carry. */
         {
             const int32_t NEGI = -(1 << 30);
             __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
@@ -88,8 +114,20 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
             __m512i zero_blk = _mm512_set1_epi32(NEGI);
             __m512i carry = _mm512_set1_epi32(NEGI);
             __m512i gapvec = _mm512_set1_epi32(GAP_O + GAP_E);
-            int32_t j = 0;
-            for (; j + 16 <= R; j += 16) {
+            int64_t Pmax = INT64_MIN;
+            int32_t j = wlo;
+            int32_t jvec = (wlo + 15) & ~15;        /* first aligned block */
+            for (; j < jvec && j <= whi; j++) {     /* scalar head */
+                if (j > wlo) {
+                    int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
+                    F[j] = (int16_t)(f > 0 ? f : 0);
+                }
+                int64_t a = (int64_t)h0[j] + (int64_t)j * GAP_E;
+                if (a > Pmax) Pmax = a;
+            }
+            if (j == jvec && Pmax != INT64_MIN)
+                carry = _mm512_set1_epi32((int32_t)Pmax);
+            for (; j + 16 <= whi + 1; j += 16) {
                 __m512i hw = _mm512_cvtepi16_epi32(
                     _mm256_loadu_si256((const __m256i *)(h0 + j)));
                 __m512i je = _mm512_mullo_epi32(
@@ -113,21 +151,21 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
                                     _mm512_cvtepi32_epi16(f));
                 carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), p);
             }
-            int64_t Pmax = _mm512_cvtsi512_si32(carry);
-            if (j == 0) Pmax = INT64_MIN;
-            for (; j < R; j++) {
-                if (j) {
+            if (j > jvec || (j == jvec && j > wlo))
+                Pmax = _mm512_cvtsi512_si32(carry);
+            for (; j <= whi; j++) {
+                if (j > wlo) {
                     int64_t f = Pmax - GAP_O - (int64_t)(j - 1) * GAP_E;
                     F[j] = (int16_t)(f > 0 ? f : 0);
                 }
                 int64_t a = (int64_t)h0[j] + (int64_t)j * GAP_E;
                 if (a > Pmax) Pmax = a;
             }
-            F[0] = 0;
+            F[wlo] = 0;
         }
         /* pass 3: Hn, E update, column max */
         int32_t colmax = 0;
-        for (int32_t j = 0; j < R; j++) {
+        for (int32_t j = wlo; j <= whi; j++) {
             int16_t Hn = h0[j] > F[j] ? h0[j] : F[j];
             int16_t e1 = (int16_t)(E[j] - GAP_E);
             int16_t e2 = (int16_t)(Hn - GAP_O);
@@ -139,9 +177,23 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
         if (colmax > best) {
             best = colmax;
             *end_ref = i;
-            memcpy(bc, H, (size_t)R * sizeof(int16_t));
+            if (band < 0) {
+                memcpy(bc, H, (size_t)R * sizeof(int16_t));
+            } else {
+                /* window-only snapshot: stale rows from earlier snapshots
+                 * hold values < terminate (else that column would have
+                 * terminated), so the first-row-== scan stays exact */
+                memcpy(bc + wlo, H + wlo,
+                       (size_t)(whi - wlo + 1) * sizeof(int16_t));
+            }
         }
         if (terminate >= 0 && colmax == terminate) break;
+        /* retire the row that leaves the band: its fresh value was read as
+         * the j-1 diagonal this column; later columns must see 0 */
+        if (band >= 0 && i - band - 1 >= 0) {
+            H[i - band - 1] = 0;
+            E[i - band - 1] = 0;
+        }
     }
     free(h0); free(F); free(srows);
     /* widen best_col in place (descending: i32 writes land above the
@@ -164,11 +216,12 @@ static int32_t forward_pass_i16(const int8_t *read, int32_t R,
  * i32 scratch reinterpreted. */
 static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
                                       const int8_t *ref, int32_t C,
-                                      int32_t terminate,
+                                      int32_t terminate, int32_t band,
                                       int32_t *H32, int32_t *E32,
                                       int32_t *end_ref, int32_t *end_read) {
     int32_t Rp = (R + 31) & ~31;
     int32_t nb = Rp / 32;
+    if (band >= 0 && (int64_t)2 * band + 1 >= R) band = -1;
     /* H gets a 32-lane zero guard in front so the j-1 shifted read is one
      * unaligned load (H[-1] == 0); caller buffers hold 4R bytes each and
      * R >= 64 here, so 2*(Rp+32) fits */
@@ -215,11 +268,21 @@ static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
     for (int32_t i = 0; i < C; i++) {
         const int16_t *restrict srow = srows + (size_t)ref[i] * Rp;
         __m512i colmax_v = _mm512_setzero_si512();
-        __m512i je = lane;                              /* GAP_E == 1 */
+        /* block window for the band (see forward_pass_i16 for the exactness
+         * argument; here the window is block-granular, sub-block rows
+         * outside the band compute only-lower values) */
+        int32_t blo = 0, bhi = nb - 1;
+        if (band >= 0) {
+            int32_t wlo = i - band; if (wlo < 0) wlo = 0;
+            int32_t whi = i + band; if (whi > R - 1) whi = R - 1;
+            blo = wlo >> 5; bhi = whi >> 5;
+        }
+        __m512i je = _mm512_add_epi16(lane,
+                                      _mm512_set1_epi16((int16_t)(blo * 32)));
         /* phase A (blocks independent -> superscalar): h0 and the local
          * prefix max of A = h0 + j*GAP_E (A >= 0, so the zero-filled
          * lane slides are exact) */
-        for (int32_t b = 0; b < nb; b++) {
+        for (int32_t b = blo; b <= bhi; b++) {
             __m512i shifted = _mm512_loadu_si512((const void *)(H + b * 32 - 1));
             __m512i Ev = _mm512_loadu_si512((const void *)(E + b * 32));
             __m512i h0 = _mm512_adds_epi16(
@@ -242,14 +305,14 @@ static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
             je = _mm512_add_epi16(je, _mm512_set1_epi16(32));
         }
         /* phase B: exclusive running max of the block maxima */
-        carry[0] = NEGI;
-        for (int32_t b = 0; b < nb; b++) {
+        carry[blo] = NEGI;
+        for (int32_t b = blo; b <= bhi; b++) {
             int16_t bm = pbuf[b * 32 + 31];
             carry[b + 1] = carry[b] > bm ? carry[b] : bm;
         }
         /* phase C (blocks independent): F, Hn, E, column max */
-        je = lane;
-        for (int32_t b = 0; b < nb; b++) {
+        je = _mm512_add_epi16(lane, _mm512_set1_epi16((int16_t)(blo * 32)));
+        for (int32_t b = blo; b <= bhi; b++) {
             __m512i cb = _mm512_set1_epi16(carry[b]);
             __m512i p = _mm512_max_epi16(
                 _mm512_loadu_si512((const void *)(pbuf + b * 32)), cb);
@@ -283,7 +346,7 @@ static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
             best = colmax;
             *end_ref = i;
             __m512i cv = _mm512_set1_epi16((int16_t)colmax);
-            for (int32_t b = 0; b < nb; b++) {
+            for (int32_t b = blo; b <= bhi; b++) {
                 __mmask32 hit = _mm512_cmpeq_epi16_mask(
                     _mm512_loadu_si512((const void *)(H + b * 32)), cv);
                 if (hit) {
@@ -293,6 +356,11 @@ static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
             }
         }
         if (terminate >= 0 && colmax == terminate) break;
+        /* retire the row leaving the band (see forward_pass_i16) */
+        if (band >= 0 && i - band - 1 >= 0) {
+            H[i - band - 1] = 0;
+            E[i - band - 1] = 0;
+        }
     }
     free(srows); free(pbuf); free(h0buf); free(carry);
     return best;
@@ -301,13 +369,14 @@ static int32_t forward_pass_i16_fused(const int8_t *read, int32_t R,
 
 static int32_t forward_pass(const int8_t *read, int32_t R,
                             const int8_t *ref, int32_t C,
-                            int32_t terminate,
+                            int32_t terminate, int32_t band,
                             int32_t *H, int32_t *E, int32_t *best_col,
                             int32_t *end_ref) {
 #ifdef __AVX512BW__
-    return forward_pass_i16(read, R, ref, C, terminate, H, E, best_col,
+    return forward_pass_i16(read, R, ref, C, terminate, band, H, E, best_col,
                             end_ref);
 #endif
+    (void)band;  /* scalar fallback stays unbanded (exact, just slower) */
     memset(H, 0, (size_t)R * sizeof(int32_t));
     memset(E, 0, (size_t)R * sizeof(int32_t));
     memset(best_col, 0, (size_t)R * sizeof(int32_t));
@@ -457,18 +526,23 @@ int ribbit_align_prof_on = 0;
 #define AP_ADD(slot, v) (void)(v)
 #endif
 
+/* band >= 0 is only legal with terminate >= 0 (the reverse pass): the
+ * banded window-only best_col snapshot and the only-lower out-of-band
+ * values are exact solely for locating the terminate-achieving column/row */
 static int32_t forward_locate(const int8_t *read, int32_t R,
                               const int8_t *ref, int32_t C,
-                              int32_t terminate,
+                              int32_t terminate, int32_t band,
                               int32_t *H, int32_t *E, int32_t *bc,
                               int32_t *end_ref, int32_t *end_read) {
+    if (terminate < 0) band = -1;
 #ifdef __AVX512BW__
     int64_t mn = R < C ? R : C;
     if (R >= 64 && (int64_t)R + 2 * mn + 64 <= 32000)
-        return forward_pass_i16_fused(read, R, ref, C, terminate, H, E,
+        return forward_pass_i16_fused(read, R, ref, C, terminate, band, H, E,
                                       end_ref, end_read);
 #endif
-    int32_t s = forward_pass(read, R, ref, C, terminate, H, E, bc, end_ref);
+    int32_t s = forward_pass(read, R, ref, C, terminate, band, H, E, bc,
+                             end_ref);
     *end_read = -1;
     for (int32_t j = 0; j < R; j++)
         if (bc[j] == s) { *end_read = j; break; }
@@ -833,7 +907,7 @@ int ribbit_align(const int8_t *read, int32_t R,
 
     int32_t end_ref, end_read;
     AP_T0(tf0);
-    int32_t score1 = forward_locate(read, R, ref, C, -1, H, E, bc,
+    int32_t score1 = forward_locate(read, R, ref, C, -1, -1, H, E, bc,
                                     &end_ref, &end_read);
     AP_ADD(0, tf0);
     if (end_ref < 0) {
@@ -875,14 +949,44 @@ int ribbit_align(const int8_t *read, int32_t R,
         int8_t *ref_rev = (int8_t *)malloc((size_t)Cr);
         for (int32_t j = 0; j < Rr; j++) read_rev[j] = read[end_read - j];
         for (int32_t j = 0; j < Cr; j++) ref_rev[j] = ref[end_ref - j];
+        /* Off-diagonal band for the reverse pass.  Every score1-achieving
+         * alignment inside the reversed prefix rectangle ends at reverse
+         * cell (0,0): forward end_ref is the FIRST column reaching the
+         * global max and end_read the FIRST row there, so an achieving
+         * alignment ending at an earlier column/row would have moved them.
+         * Anchored at the origin, a path cell at diagonal offset d needs a
+         * gap run (DP cost GAP_O for the first gap cell, GAP_E for each
+         * extension) totalling >= GAP_O + (|d|-1)*GAP_E, while matches are
+         * <= min(Rr, Cr).  Out-of-band paths only lower computed scores,
+         * so the first terminating column and first achieving row are
+         * exact (full argument at forward_pass_i16). */
+        int64_t mn_rc = Rr < Cr ? Rr : Cr;
+        int64_t slack = 2 * mn_rc - score1;
+        int64_t D64 = slack < GAP_O ? 0 : (slack - GAP_O) / GAP_E + 1;
+        int32_t band = D64 >= Rr ? -1 : (int32_t)D64;
         int32_t end_ref_rev, rev_read_idx;
         AP_T0(tr0);
-        forward_locate(read_rev, Rr, ref_rev, Cr, score1, H, E, bc,
-                       &end_ref_rev, &rev_read_idx);
+        int32_t rbest = forward_locate(read_rev, Rr, ref_rev, Cr, score1,
+                                       band, H, E, bc,
+                                       &end_ref_rev, &rev_read_idx);
+        if (band >= 0 && rbest != score1)
+            /* belt-and-braces: the band bound guarantees this never fires;
+             * if it ever did, fall back to the exact full-width pass
+             * rather than emit a wrong begin */
+            forward_locate(read_rev, Rr, ref_rev, Cr, score1, -1, H, E, bc,
+                           &end_ref_rev, &rev_read_idx);
         AP_ADD(1, tr0);
         ref_begin = end_ref - end_ref_rev;
         query_begin = end_read - rev_read_idx;
         free(read_rev); free(ref_rev);
+        {   /* TEMP instrumentation: reverse-pass geometry dump */
+            static int dump = -1;
+            if (dump < 0) dump = getenv("RIBBIT_ALIGN_DUMP") != NULL;
+            if (dump)
+                fprintf(stderr, "[ADUMP] R=%d C=%d s1=%d er=%d eq=%d irev=%d jrev=%d\n",
+                        R, C, score1, end_ref, end_read, end_ref_rev,
+                        rev_read_idx);
+        }
     }
     out[1] = ref_begin;
     out[3] = query_begin;
