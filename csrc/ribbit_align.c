@@ -516,6 +516,8 @@ static int32_t forward_pass(const int8_t *read, int32_t R,
  * ribbit_refine.c when RIBBIT_CORE_PROF is set, flushed by its workers */
 __thread long long ribbit_align_tprof[6];   /* fwd, rev, band, bandcells, rev-skip, naln */
 int ribbit_align_prof_on = 0;
+int ribbit_align_dump_on = 0;   /* reverse-geometry dump; resolved by the
+                                 * refine entry before workers spawn */
 #if defined(__x86_64__)
 #include <x86intrin.h>
 #define AP_T0(v) uint64_t v = ribbit_align_prof_on ? __rdtsc() : 0
@@ -979,14 +981,10 @@ int ribbit_align(const int8_t *read, int32_t R,
         ref_begin = end_ref - end_ref_rev;
         query_begin = end_read - rev_read_idx;
         free(read_rev); free(ref_rev);
-        {   /* TEMP instrumentation: reverse-pass geometry dump */
-            static int dump = -1;
-            if (dump < 0) dump = getenv("RIBBIT_ALIGN_DUMP") != NULL;
-            if (dump)
-                fprintf(stderr, "[ADUMP] R=%d C=%d s1=%d er=%d eq=%d irev=%d jrev=%d\n",
-                        R, C, score1, end_ref, end_read, end_ref_rev,
-                        rev_read_idx);
-        }
+        if (ribbit_align_dump_on)   /* reverse-pass geometry dump */
+            fprintf(stderr, "[ADUMP] R=%d C=%d s1=%d er=%d eq=%d irev=%d jrev=%d\n",
+                    R, C, score1, end_ref, end_read, end_ref_rev,
+                    rev_read_idx);
     }
     out[1] = ref_begin;
     out[3] = query_begin;

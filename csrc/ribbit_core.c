@@ -349,6 +349,20 @@ typedef struct RibbitCore {
     i64 ov_words;
 
     i32 nthreads;               /* 0 = auto (env RIBBIT_THREADS or ncpu) */
+
+    /* streaming scan (ribbit_core_scan_stream): finalized merged seeds are
+     * delivered to stream_cb during the anchored consume so refinement can
+     * overlap the serial walk.  sm_* are the incremental 3-pointer merge
+     * cursors (== count of entries already consumed from each list);
+     * stream_poisoned flips when a positional RANK_C retag (the
+     * parse_anchored_shiftxor.cpp:511-522 quirk) rewrites a list entry the
+     * merge already emitted — the caller then discards streamed output and
+     * re-merges/refines from the final lists (exact fallback). */
+    void (*stream_cb)(void *arg, const i64 *seeds4, i64 n);
+    void *stream_arg;
+    int stream_poisoned;
+    i64 sm_pi, sm_si, sm_ai;
+    i64 sm_type;                /* persists like final_merge's smallest_type */
 } RibbitCore;
 
 static void iv_reset(IVec *v) { v->n = 0; }
@@ -628,7 +642,7 @@ typedef struct { i32 pos, s, e; uint32_t nrej;  /* #rejected generated
  * nonnegative (pos and nrej are nondecreasing per channel; s <= e <= pos
  * at every emission site). */
 typedef struct { uint8_t *d; i64 n, cap; i64 cnt; i32 prev_pos;
-                 i64 prev_nrej; } SVec;
+                 i64 prev_nrej; i64 prev_s; int s_desc; } SVec;
 /* rejected emissions: consumed strictly sequentially per channel, so they
  * are stored as a delta/varint byte stream instead of 8-byte records —
  * varint(pos - prev_pos), varint(((pos - e) << 1) | eligible).  Both
@@ -655,6 +669,12 @@ static void sv_push(SVec *v, SEmis e) {
     sv_put(v, (uint64_t)(e.nrej - v->prev_nrej));
     v->prev_pos = e.pos;
     v->prev_nrej = e.nrej;
+    /* the streaming merge watermark (min over channel heads of the next
+     * surviving seed start) is only a valid bound on ALL future seed
+     * starts when s is nondecreasing per channel; verified here, any
+     * violation disables mid-consume streaming (exact, just unoverlapped) */
+    if ((i64)e.s < v->prev_s) v->s_desc = 1;
+    v->prev_s = e.s;
     v->cnt++;
 }
 
@@ -2387,12 +2407,20 @@ restart:;
                     i64 ktype = po_sp_factortypes.d[j];
                     if (ktype == RANK_P) {
                         if (j < perfect->n && perfect->d[j].mlen == factor) {
+                            /* positional write: if the streaming merge
+                             * already consumed this entry, the streamed
+                             * seed stream no longer matches the batch
+                             * merge — poison it (caller re-merges) */
+                            if (c->stream_cb && j < c->sm_pi)
+                                c->stream_poisoned = 1;
                             perfect->d[j].start = last_start;
                             perfect->d[j].end = last_end;
                             perfect->d[j].rank = RANK_N;
                         }
                     } else if (ktype == RANK_S) {
                         if (j < substut->n && substut->d[j].mlen == factor) {
+                            if (c->stream_cb && j < c->sm_si)
+                                c->stream_poisoned = 1;
                             substut->d[j].start = last_start;
                             substut->d[j].end = last_end;
                             substut->d[j].rank = RANK_N;
@@ -2569,6 +2597,71 @@ static Q6Sink *sinks_from_evec(RibbitCore *c, EVec *per) {
     return sink;
 }
 
+/* Incremental 3-pointer merge for the streaming scan.  Replays
+ * final_merge's walk (same pick + RANK_N skip + 0.9*m filter) but only as
+ * far as provably-final entries allow:
+ *   - entries with end < W are final: every in-consume mutation
+ *     (RANK_N tombstoning in add_seed_anchored's candidate loop) touches
+ *     only entries with end >= seed_start, and W lower-bounds every future
+ *     event's seed start (min over per-channel surviving heads, s
+ *     nondecreasing per channel — encoder-verified);
+ *   - entry start/end/mlen never change after append and appends go to the
+ *     anchored tail, so head-start comparisons are stable; the one
+ *     exception, the positional RANK_C retag quirk, is poison-detected at
+ *     its write site against sm_pi/sm_si;
+ *   - while the consume runs (done == 0), the anchored head must exist
+ *     (sm_ai < A->n), else a future append would have competed in this
+ *     pick.
+ * Emits in batches through stream_cb and mirrors every emitted seed into
+ * final_seeds so ribbit_core_get_seeds stays coherent. */
+static void stream_merge_step(RibbitCore *c, i64 W, int done) {
+    if (!c->stream_cb || c->stream_poisoned) return;
+    SeedList *P = &c->perfect, *S = &c->substut, *A = &c->anchored;
+    i64 batch[4 * 128];
+    i64 bn = 0;
+    for (;;) {
+        i64 pi = c->sm_pi, si = c->sm_si, ai = c->sm_ai;
+        if (!done && ai >= A->n) break;
+        if (pi >= P->n && si >= S->n && ai >= A->n) break;
+        i64 smallest = ((i64)1 << 62);
+        i64 smallest_type = c->sm_type;
+        if (pi < P->n && smallest > P->d[pi].start) {
+            smallest = P->d[pi].start;
+            smallest_type = RANK_P;
+        }
+        if (si < S->n && smallest > S->d[si].start) {
+            smallest = S->d[si].start;
+            smallest_type = RANK_S;
+        }
+        if (ai < A->n && smallest > A->d[ai].start) {
+            smallest = A->d[ai].start;
+            smallest_type = RANK_A;
+        }
+        Seed sd;
+        if (smallest_type == RANK_P) sd = P->d[pi];
+        else if (smallest_type == RANK_S) sd = S->d[si];
+        else sd = A->d[ai];
+        if (!done && sd.end >= W) break;      /* rank not final yet */
+        c->sm_type = smallest_type;
+        if (smallest_type == RANK_P) c->sm_pi++;
+        else if (smallest_type == RANK_S) c->sm_si++;
+        else c->sm_ai++;
+
+        if (sd.rank == RANK_N) continue;
+        if ((double)(sd.end - sd.start) < 0.9 * (double)sd.mlen) continue;
+        sl_push(&c->final_seeds, sd);
+        batch[bn * 4 + 0] = sd.start;
+        batch[bn * 4 + 1] = sd.end;
+        batch[bn * 4 + 2] = sd.mlen;
+        batch[bn * 4 + 3] = sd.rank;
+        if (++bn == 128) {
+            c->stream_cb(c->stream_arg, batch, bn);
+            bn = 0;
+        }
+    }
+    if (bn) c->stream_cb(c->stream_arg, batch, bn);
+}
+
 static void run_anchored_scan(RibbitCore *c) {
     const char *timing = getenv("RIBBIT_CORE_TIMING");
     struct timespec a0, a1;
@@ -2665,6 +2758,8 @@ static void run_anchored_scan(RibbitCore *c) {
         if (rhn == rcap) { rcap += rcap >> 1; \
             rheap = (uint64_t *)xrealloc(rheap, (size_t)rcap * 8); } \
         u64heap_push(rheap, &rhn, (uint64_t)(k)); } while (0)
+        int stream_ok = c->stream_cb != NULL;
+        i64 stream_tick = 0;
         for (i32 d = 0; d < nch; d++) {
             rdec_init(&rdec[d], &sink[d].rj);
             rkey[d] = rdec[d].valid
@@ -2674,6 +2769,7 @@ static void run_anchored_scan(RibbitCore *c) {
             if (sdec[d].valid)
                 u64heap_push(heap, &hn,
                              ((uint64_t)sdec[d].pos << 16) | (uint64_t)d);
+            if (sink[d].sv.s_desc) stream_ok = 0;
         }
         while (hn) {
             i32 d = (i32)(heap[0] & 0xFFFF);
@@ -2756,6 +2852,18 @@ static void run_anchored_scan(RibbitCore *c) {
             else
                 heap[0] = heap[--hn];
             u64heap_sift_down(heap, hn);
+
+            /* streaming: periodically release provably-final merged seeds
+             * to the refinement pool.  W = min surviving head s across
+             * channels (all decoders already sit past the event just
+             * processed), a lower bound on every future seed start. */
+            if (stream_ok && !c->stream_poisoned && ++stream_tick >= 1024) {
+                stream_tick = 0;
+                i64 W = ((i64)1 << 62);
+                for (i32 dd = 0; dd < nch; dd++)
+                    if (sdec[dd].valid && sdec[dd].s < W) W = sdec[dd].s;
+                if (W > 0) stream_merge_step(c, W, 0);
+            }
         }
         free(rdec); free(sdec); free(rkey); free(heap); free(rheap);
 #undef RHEAP_PUSH
@@ -2833,6 +2941,7 @@ RibbitCore *ribbit_core_create(const int8_t *code, const uint8_t *nmask,
     sl_init(&c->substut);
     sl_init(&c->anchored);
     sl_init(&c->final_seeds);
+    c->sm_type = -1;
     return c;
 }
 
@@ -2946,7 +3055,18 @@ i64 ribbit_core_scan(RibbitCore *c) {
                             - failed_seeds(&c->substut)
                             - failed_seeds(&c->anchored)));
     TICK("anchored");
-    final_merge(c);
+    if (c->stream_cb && !c->stream_poisoned) {
+        if (getenv("RIBBIT_STREAM_DEBUG"))
+            fprintf(stderr, "[stream] preflush final_seeds=%lld\n",
+                    (long long)c->final_seeds.n);
+        /* lists are final now: flush the incremental merge to completion */
+        stream_merge_step(c, 0, 1);
+    } else {
+        /* batch, or poisoned stream: rebuild from scratch (the partial
+         * incremental walk may have emitted pre-retag values) */
+        c->final_seeds.n = 0;
+        final_merge(c);
+    }
     if (timing)
         fprintf(stderr, "[core] seeds processed for alignment: %lld\n",
                 (long long)c->final_seeds.n);
@@ -2959,6 +3079,29 @@ i64 ribbit_core_scan(RibbitCore *c) {
 }
 
 void ribbit_core_set_threads(RibbitCore *c, i32 n) { c->nthreads = n; }
+
+/* Streaming scan: like ribbit_core_scan, but finalized merged seeds are
+ * delivered incrementally through cb during the anchored consume so the
+ * caller can refine them concurrently with the (serial) lattice walk.
+ * Returns the total seed count UNLESS the stream was poisoned by the
+ * positional-retag quirk (see stream_merge_step), in which case it returns
+ * the NEGATED count minus 1: the caller must discard every streamed batch
+ * and re-pull the authoritative seeds via ribbit_core_get_seeds.  In the
+ * clean case the streamed batches, concatenated, ARE the final seed list
+ * (also mirrored into final_seeds). */
+i64 ribbit_core_scan_stream(RibbitCore *c,
+                            void (*cb)(void *arg, const i64 *seeds4, i64 n),
+                            void *arg) {
+    c->stream_cb = cb;
+    c->stream_arg = arg;
+    c->stream_poisoned = 0;
+    /* test hook: force the poisoned path to exercise the exact fallback */
+    if (getenv("RIBBIT_STREAM_FORCE_POISON")) c->stream_poisoned = 1;
+    i64 n = ribbit_core_scan(c);
+    c->stream_cb = NULL;
+    c->stream_arg = NULL;
+    return c->stream_poisoned ? -n - 1 : n;
+}
 
 void ribbit_core_get_seeds(RibbitCore *c, i64 *out) {
     for (i64 i = 0; i < c->final_seeds.n; i++) {

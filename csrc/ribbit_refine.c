@@ -47,6 +47,10 @@ i32 ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
 typedef struct RibbitCore RibbitCore;
 i64 ribbit_core_overlay_longest_run(RibbitCore *c, i32 midx, i64 a, i64 b);
 int32_t ribbit_core_overlay_run3(RibbitCore *c, i32 midx, i64 a, i64 b);
+i64 ribbit_core_scan_stream(RibbitCore *c,
+                            void (*cb)(void *arg, const i64 *seeds4, i64 n),
+                            void *arg);
+void ribbit_core_get_seeds(RibbitCore *c, i64 *out);
 
 /* ------------------------------------------------------------------ */
 /* output buffer                                                      */
@@ -58,6 +62,11 @@ typedef struct { char *d; i64 n, cap; } StrBuf;
  * contract; fail loudly instead of dereferencing NULL */
 static void *xmalloc(size_t sz) {
     void *p = malloc(sz ? sz : 1);
+    if (!p) { fprintf(stderr, "ribbit_refine: out of memory\n"); abort(); }
+    return p;
+}
+static void *xcalloc(size_t n, size_t sz) {
+    void *p = calloc(n ? n : 1, sz ? sz : 1);
     if (!p) { fprintf(stderr, "ribbit_refine: out of memory\n"); abort(); }
     return p;
 }
@@ -385,6 +394,7 @@ static inline int rprof_on(void) {
 #define RPROF_N(slot, k) do { if (rprof_on()) t_rprof[slot] += (k); } while (0)
 extern __thread long long ribbit_align_tprof[6];
 extern int ribbit_align_prof_on;
+extern int ribbit_align_dump_on;
 static _Atomic long long g_aprof[6];
 
 static void rprof_flush(void) {
@@ -1411,6 +1421,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     }
     pthread_once(&rc_once, rc_build_tables);
     ribbit_align_prof_on = rprof_on();
+    ribbit_align_dump_on = getenv("RIBBIT_ALIGN_DUMP") != NULL;
     /* resolve env gates on this thread before workers exist (TSan-clean:
      * pthread_create orders these writes before any worker read) */
     amemo_resolve();
@@ -1484,6 +1495,220 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
     *out_len = out.n;
     return out.d;
+}
+
+/* ------------------------------------------------------------------ */
+/* streaming scan+refine: overlap the serial anchored consume with the */
+/* refinement pool (seeds arrive via ribbit_core_scan_stream)          */
+/* ------------------------------------------------------------------ */
+
+/* seeds live in fixed-size blocks behind a never-reallocated pointer
+ * table (contigs are < 2^31 bp, so < 2^31 seeds: 32768 blocks suffice),
+ * so workers can read published seeds without locking */
+#define SS_BLK_LOG 16
+#define SS_BLK ((i64)1 << SS_BLK_LOG)
+#define SS_MAXBLK 32768
+#define SS_CHUNK 512                    /* seeds per output chunk */
+
+typedef struct {
+    RefineCtx proto;
+    i64 **blocks;                       /* SS_MAXBLK pointers */
+    i64 appended;                       /* producer-private append count */
+    StrBuf **chunk_out;                 /* one StrBuf per claimed chunk */
+    i64 chunk_cap;
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    i64 published;                      /* seeds visible to workers */
+    i64 total;                          /* valid once eof */
+    i64 next_claim;                     /* next chunk index */
+    int eof, abandon;
+} SStream;
+
+static inline const i64 *ss_seed(const SStream *ss, i64 k) {
+    return ss->blocks[k >> SS_BLK_LOG] + 4 * (k & (SS_BLK - 1));
+}
+
+/* producer side: copy the batch in (appends beyond `published` are
+ * producer-private), then publish under the lock */
+static void ss_push(void *arg, const i64 *seeds4, i64 n) {
+    SStream *ss = (SStream *)arg;
+    i64 k = ss->appended;
+    for (i64 i = 0; i < n; i++, k++) {
+        i64 b = k >> SS_BLK_LOG;
+        if (!ss->blocks[b])
+            ss->blocks[b] = (i64 *)xmalloc((size_t)SS_BLK * 4 * sizeof(i64));
+        memcpy(ss->blocks[b] + 4 * (k & (SS_BLK - 1)), seeds4 + 4 * i,
+               4 * sizeof(i64));
+    }
+    ss->appended = k;
+    pthread_mutex_lock(&ss->mu);
+    ss->published = k;
+    pthread_cond_broadcast(&ss->cv);
+    pthread_mutex_unlock(&ss->mu);
+}
+
+static void *ss_worker(void *arg) {
+    SStream *ss = (SStream *)arg;
+    for (;;) {
+        i64 ci, lo, hi;
+        pthread_mutex_lock(&ss->mu);
+        for (;;) {
+            if (ss->abandon) { pthread_mutex_unlock(&ss->mu); goto out; }
+            i64 avail = ss->eof
+                ? (ss->published + SS_CHUNK - 1) / SS_CHUNK
+                : ss->published / SS_CHUNK;
+            if (ss->next_claim < avail) {
+                ci = ss->next_claim++;
+                lo = ci * SS_CHUNK;
+                hi = lo + SS_CHUNK;
+                if (ss->eof && hi > ss->published) hi = ss->published;
+                break;
+            }
+            if (ss->eof) { pthread_mutex_unlock(&ss->mu); goto out; }
+            pthread_cond_wait(&ss->cv, &ss->mu);
+        }
+        pthread_mutex_unlock(&ss->mu);
+
+        StrBuf *out = (StrBuf *)calloc(1, sizeof(StrBuf));
+        RefineCtx x = ss->proto;
+        x.out = out;
+        for (i64 k = lo; k < hi; k++)
+            refine_one(&x, ss_seed(ss, k), x.min_shift);
+        __atomic_store_n(&ss->chunk_out[ci], out, __ATOMIC_RELEASE);
+    }
+out:
+    amemo_free();
+    vcmemo_free();
+    rprof_flush();
+    return NULL;
+}
+
+/* Run the full scan AND refinement with the anchored consume overlapped by
+ * the refinement pool.  Output is byte-identical to
+ * ribbit_core_scan + ribbit_refine_run: seeds stream in final-merge order,
+ * chunks concatenate in order, and the rare poisoned stream (positional
+ * retag quirk crossing the merge cursor) falls back to a from-scratch
+ * batch refinement over the authoritative seed list.  *out_nseeds gets the
+ * seed count. */
+char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
+                         const uint8_t *nmask, const int8_t *translated,
+                         i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
+                         const i64 *min_length_tbl,
+                         const i64 *perfect_units_tbl,
+                         i64 tbl_size, const char *seq_id, i32 req_threads,
+                         i64 *out_len, i64 *out_nseeds) {
+    static int malloc_tuned = 0;
+    if (!malloc_tuned) {
+        mallopt(M_MMAP_THRESHOLD, 64 << 20);
+        mallopt(M_TRIM_THRESHOLD, 64 << 20);
+        malloc_tuned = 1;
+    }
+    pthread_once(&rc_once, rc_build_tables);
+    ribbit_align_prof_on = rprof_on();
+    ribbit_align_dump_on = getenv("RIBBIT_ALIGN_DUMP") != NULL;
+    amemo_resolve();
+    vcmemo_resolve();
+
+    i64 nthreads = req_threads;
+    if (nthreads <= 0) {
+        const char *env = getenv("RIBBIT_THREADS");
+        if (env) nthreads = atoll(env);
+        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    }
+    if (nthreads < 1) nthreads = 1;
+
+    SStream ss;
+    memset(&ss, 0, sizeof ss);
+    ss.proto.core = core;
+    ss.proto.code = code;
+    ss.proto.nmask = nmask;
+    ss.proto.translated = translated;
+    ss.proto.L = L;
+    ss.proto.min_motif = min_motif;
+    ss.proto.max_motif = max_motif;
+    ss.proto.min_shift = min_shift;
+    ss.proto.minimum_length = min_length_tbl;
+    ss.proto.perfect_units = perfect_units_tbl;
+    ss.proto.tbl_size = tbl_size;
+    ss.proto.seq_id = seq_id;
+    ss.proto.seq_id_len = (i64)strlen(seq_id);
+    ss.blocks = (i64 **)xcalloc(SS_MAXBLK, sizeof(i64 *));
+    /* full-range chunk table (lazy zero pages; workers store into it while
+     * the stream is still growing, so it can never be reallocated) */
+    ss.chunk_cap = SS_MAXBLK * (SS_BLK / SS_CHUNK);
+    ss.chunk_out = (StrBuf **)xcalloc((size_t)ss.chunk_cap, sizeof(StrBuf *));
+    pthread_mutex_init(&ss.mu, NULL);
+    pthread_cond_init(&ss.cv, NULL);
+
+    i64 nworkers = nthreads - 1;
+    pthread_t *tids = NULL;
+    if (nworkers > 0) {
+        tids = (pthread_t *)xmalloc((size_t)nworkers * sizeof(pthread_t));
+        for (i64 t = 0; t < nworkers; t++)
+            pthread_create(&tids[t], NULL, ss_worker, &ss);
+    }
+
+    i64 published_pre = 0;  /* TEMP instrument */
+    (void)published_pre;
+    i64 n = ribbit_core_scan_stream(core, ss_push, &ss);
+    if (getenv("RIBBIT_STREAM_DEBUG"))
+        fprintf(stderr, "[stream] published=%lld claimed=%lld\n",
+                (long long)ss.published, (long long)ss.next_claim * SS_CHUNK);
+    int poisoned = n < 0;
+    if (poisoned) n = -n - 1;
+    *out_nseeds = n;
+
+    i64 nchunks = (ss.published + SS_CHUNK - 1) / SS_CHUNK;
+    pthread_mutex_lock(&ss.mu);
+    ss.eof = 1;
+    ss.total = ss.published;
+    if (poisoned) ss.abandon = 1;
+    pthread_cond_broadcast(&ss.cv);
+    pthread_mutex_unlock(&ss.mu);
+
+    if (!poisoned)
+        ss_worker(&ss);             /* main thread joins the pool */
+    for (i64 t = 0; t < nworkers; t++)
+        pthread_join(tids[t], NULL);
+    free(tids);
+
+    char *result;
+    if (!poisoned) {
+        StrBuf out = {NULL, 0, 0};
+        for (i64 ci = 0; ci < nchunks; ci++) {
+            StrBuf *b = ss.chunk_out[ci];
+            if (b) {
+                if (b->n) sb_append(&out, b->d, b->n);
+                free(b->d);
+                free(b);
+            }
+        }
+        rprof_report();
+        if (out.d == NULL) { out.d = (char *)calloc(1, 1); out.n = 0; }
+        *out_len = out.n;
+        result = out.d;
+    } else {
+        /* discard streamed work; refine the authoritative list */
+        for (i64 ci = 0; ci < nchunks; ci++) {
+            StrBuf *b = ss.chunk_out[ci];
+            if (b) { free(b->d); free(b); }
+        }
+        i64 *seeds = (i64 *)xmalloc((size_t)(n > 0 ? n : 1) * 4
+                                    * sizeof(i64));
+        ribbit_core_get_seeds(core, seeds);
+        result = ribbit_refine_run(core, code, nmask, translated, L,
+                                   min_motif, max_motif, min_shift,
+                                   min_length_tbl, perfect_units_tbl,
+                                   tbl_size, seq_id, seeds, n, req_threads,
+                                   out_len);
+        free(seeds);
+    }
+    for (i64 b = 0; b < SS_MAXBLK; b++) free(ss.blocks[b]);
+    free(ss.blocks);
+    free(ss.chunk_out);
+    pthread_mutex_destroy(&ss.mu);
+    pthread_cond_destroy(&ss.cv);
+    return result;
 }
 
 void ribbit_buffer_free(char *p) { free(p); }

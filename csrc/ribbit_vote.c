@@ -138,12 +138,18 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
                    * step_cap + M;          /* + M covers the prefix vote */
 
         i64 dstream = row + M;
+        /* steps-remaining UPPER bound maintained by decrement: each step
+         * advances the cursor by >= adv, so true remaining <= dsteps and
+         * the abort stays conservative — this replaces a per-step integer
+         * division with a subtraction */
+        i64 dsteps = dstream < seed_end
+                         ? (seed_end - dstream + adv - 1) / adv : 0;
         while (dstream < seed_end) {
-            if (max_count > row_count + upot +
-                    ((seed_end - dstream + adv - 1) / adv) * step_cap) {
+            if (max_count > row_count + upot + dsteps * step_cap) {
                 row_count = -1;             /* provably can't win */
                 break;
             }
+            dsteps--;
             i64 max_di = -2, max_dc = 0;
             /* interior fast path: all five bases share lim */
             i64 lim_c = step_cap;
@@ -171,13 +177,16 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
         if (row_count < 0) continue;
 
         i64 ustream = row - M;
+        /* same decrement-maintained UB for the upstream walk (cursor moves
+         * down by >= adv per step) */
+        i64 usteps = ustream > seed_start
+                         ? (ustream - seed_start - 1) / adv + 1 : 0;
         while (ustream > seed_start) {
-            if (max_count > row_count +
-                    ((ustream - seed_start - 1) / adv + 1) * step_cap
-                    + M) {
+            if (max_count > row_count + usteps * step_cap + M) {
                 row_count = -1;
                 break;
             }
+            usteps--;
             i64 max_di = -2, max_dc = 0;
             i64 lim_c = step_cap;
             if (ustream - 2 >= 0 && L - (ustream + 2) >= lim_c && lim_c > 0) {

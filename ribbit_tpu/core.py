@@ -74,6 +74,12 @@ def _get_core_lib_locked():
         P64, ctypes.c_int64, ctypes.c_int32, P64]
     lib.ribbit_core_set_threads.restype = None
     lib.ribbit_core_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ribbit_scan_refine.restype = ctypes.POINTER(ctypes.c_char)
+    lib.ribbit_scan_refine.argtypes = [
+        ctypes.c_void_p, P8, PU8, P8, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        P64, P64, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int32, P64, P64]
     lib.ribbit_buffer_free.restype = None
     lib.ribbit_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
     _lib = lib
@@ -139,15 +145,7 @@ class CoreSession:
         raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
         translated = np.ascontiguousarray(_TRANSLATE[raw & 0x7F])
         cfg = self.cfg
-        tbl = cfg.max_motif + 1
-        min_len = np.zeros(tbl, dtype=np.int64)
-        perf_units = np.zeros(tbl, dtype=np.int64)
-        for m, v in cfg.minimum_length.items():
-            if 0 <= m < tbl:
-                min_len[m] = v
-        for m, v in cfg.perfect_units.items():
-            if 0 <= m < tbl:
-                perf_units[m] = v
+        tbl, min_len, perf_units = self._refine_tables()
         seeds = np.ascontiguousarray(seeds, dtype=np.int64)
         out_len = ctypes.c_int64(0)
         P64 = ctypes.POINTER(ctypes.c_int64)
@@ -161,6 +159,44 @@ class CoreSession:
             tbl, sequence_id.encode("latin-1", errors="replace"),
             seeds.ctypes.data_as(P64), seeds.shape[0], self.nthreads,
             ctypes.byref(out_len))
+        text = ctypes.string_at(buf, out_len.value).decode("latin-1")
+        self.lib.ribbit_buffer_free(buf)
+        return text.splitlines()
+
+    def _refine_tables(self):
+        cfg = self.cfg
+        tbl = cfg.max_motif + 1
+        min_len = np.zeros(tbl, dtype=np.int64)
+        perf_units = np.zeros(tbl, dtype=np.int64)
+        for m, v in cfg.minimum_length.items():
+            if 0 <= m < tbl:
+                min_len[m] = v
+        for m, v in cfg.perfect_units.items():
+            if 0 <= m < tbl:
+                perf_units[m] = v
+        return tbl, min_len, perf_units
+
+    def scan_refine(self, sequence: str, sequence_id: str) -> list[str]:
+        """Combined scan + refinement with the serial anchored consume
+        overlapped by the refinement pool (ribbit_scan_refine).  Output is
+        byte-identical to scan() followed by refine()."""
+        from .align import _TRANSLATE
+        raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
+        translated = np.ascontiguousarray(_TRANSLATE[raw & 0x7F])
+        cfg = self.cfg
+        tbl, min_len, perf_units = self._refine_tables()
+        out_len = ctypes.c_int64(0)
+        nseeds = ctypes.c_int64(0)
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        buf = self.lib.ribbit_scan_refine(
+            self.handle,
+            self.code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self.n_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            translated.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self.code.shape[0], cfg.min_motif, cfg.max_motif, cfg.min_shift,
+            min_len.ctypes.data_as(P64), perf_units.ctypes.data_as(P64),
+            tbl, sequence_id.encode("latin-1", errors="replace"),
+            self.nthreads, ctypes.byref(out_len), ctypes.byref(nseeds))
         text = ctypes.string_at(buf, out_len.value).decode("latin-1")
         self.lib.ribbit_buffer_free(buf)
         return text.splitlines()

@@ -72,6 +72,19 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
     code, n_mask = encode(sequence)
     sess = CoreSession(code, n_mask, cfg, nthreads=nthreads)
     try:
+        drop_min = int(os.environ.get("RIBBIT_OVERLAY_DROP_MIN", 64_000_000))
+        if (scan_backend == "host"
+                and not os.environ.get("RIBBIT_BATCHED_REFINE")
+                and not os.environ.get("RIBBIT_PY_REFINE")
+                and os.environ.get("RIBBIT_STREAM", "1") != "0"
+                and L < drop_min):
+            # streaming path: the serial anchored-consume walk overlaps the
+            # refinement pool (ribbit_scan_refine); byte-identical to
+            # scan()+refine().  Large contigs keep the two-phase path so the
+            # packed overlay can be dropped between scan and refine.
+            for line in sess.scan_refine(sequence, sequence_id):
+                emit(line)
+            return
         if scan_backend == "tpu":
             from .scan_events_tpu import scan_events
             try:

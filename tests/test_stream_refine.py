@@ -1,0 +1,64 @@
+"""Streaming scan+refine (ribbit_scan_refine): the anchored consume is
+overlapped with the refinement pool; output must be byte-identical to the
+two-phase scan()+refine() path, including under the forced-poison fallback
+(positional retag quirk crossing the merge cursor -> discard streamed work
+and re-refine from the authoritative seed list)."""
+
+import os
+import subprocess
+import sys
+
+from ribbit_tpu.sim import simulate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(fa, out, extra_env):
+    env = dict(os.environ)
+    env.update(extra_env)
+    env["PYTHONPATH"] = REPO
+    subprocess.run(
+        [sys.executable, "-m", "ribbit_tpu.cli", "-i", str(fa),
+         "-o", str(out)],
+        check=True, env=env, cwd=REPO, capture_output=True)
+    return open(out, "rb").read()
+
+
+def _write_fa(path, sims):
+    with open(path, "w") as fh:
+        for sim in sims:
+            fh.write(f">{sim.name}\n")
+            for i in range(0, len(sim.sequence), 80):
+                fh.write(sim.sequence[i:i + 80] + "\n")
+
+
+def test_stream_matches_batch(tmp_path):
+    fa = tmp_path / "s.fa"
+    _write_fa(fa, [simulate(num_loci=50, seed=11, name="c1"),
+                   simulate(num_loci=40, seed=12, min_motif=12,
+                            max_motif=80, n_block_rate=0.5, name="c2")])
+    stream = _run_cli(fa, tmp_path / "st.bed", {})
+    assert stream
+    batch = _run_cli(fa, tmp_path / "ba.bed", {"RIBBIT_STREAM": "0"})
+    assert stream == batch
+
+
+def test_stream_poison_fallback(tmp_path):
+    """Force the poisoned path: streamed output is discarded and refinement
+    re-runs over the authoritative list -> still byte-identical."""
+    fa = tmp_path / "p.fa"
+    _write_fa(fa, [simulate(num_loci=60, seed=21, name="p1")])
+    batch = _run_cli(fa, tmp_path / "ba.bed", {"RIBBIT_STREAM": "0"})
+    poisoned = _run_cli(fa, tmp_path / "po.bed",
+                        {"RIBBIT_STREAM_FORCE_POISON": "1"})
+    assert poisoned == batch
+
+
+def test_stream_single_thread(tmp_path):
+    fa = tmp_path / "t.fa"
+    _write_fa(fa, [simulate(num_loci=30, seed=31, name="t1")])
+    batch = _run_cli(fa, tmp_path / "ba.bed", {"RIBBIT_STREAM": "0"})
+    one = _run_cli(fa, tmp_path / "t1.bed", {"RIBBIT_THREADS": "1"})
+    two = _run_cli(fa, tmp_path / "t2.bed", {"RIBBIT_THREADS": "2"})
+    assert one == batch
+    assert two == batch
