@@ -1041,8 +1041,20 @@ typedef struct {
  * a multiple of 64 (overlay pack words align to tile bounds). */
 #define GEN_TS ((i64)1 << 16)
 
+/* generation section profile (RIBBIT_CORE_PROF): eqfill, anchors, perfect,
+ * q7 windows, overlay(+q6), packing — cycles summed across workers */
+static inline int prof_on(void);            /* defined with the consume prof */
+static _Atomic long long g_genprof[6];
+static const char *g_genprof_names[6] =
+    {"eq", "anch", "perf", "q7", "ovl", "pack"};
+
 static void *gen_worker(void *arg) {
     GenTask *t = (GenTask *)arg;
+    long long gp[6] = {0, 0, 0, 0, 0, 0};
+    int gp_on = prof_on();
+#define GP_T0(v) uint64_t v = gp_on ? __rdtsc() : 0
+#define GP_ADD(slot, v) do { if (gp_on) gp[slot] += \
+    (long long)(__rdtsc() - (v)); } while (0)
     RibbitCore *c = t->c;
     i64 L = c->L;
     i64 nw = L - WINDOW_LENGTH + 1;
@@ -1092,9 +1104,11 @@ static void *gen_worker(void *arg) {
             /* eq bytes for [glo, ghi) at offset `base`; zero elsewhere */
             i64 glo = base < 0 ? 0 : base;
             i64 ghi = T1 + HF < L ? T1 + HF : L;
+            GP_T0(tg0);
             if (glo > base) memset(eb, 0, (size_t)(glo - base));
             memset(eb + (ghi - base), 0, (size_t)(T1 + HF + 8 - ghi));
             eq_fill(c, shift, glo, ghi - glo, eb + (glo - base));
+            GP_ADD(0, tg0);
 #define EQ(g) (eb[(g) - base])
 
             /* anchors intersecting [T0, T1+8): candidate 3-runs expanded
@@ -1105,6 +1119,7 @@ static void *gen_worker(void *arg) {
              * runs are disqualified the moment the scan proves len >=
              * 2*shift, and a run still open at scan_end either lies
              * beyond the marking range or is disqualified by length. */
+            GP_T0(ta0);
             uint8_t *restrict ab = abuf[slot];
             memset(ab, 0, TBUF);
             atag[slot] = shift;
@@ -1139,6 +1154,7 @@ static void *gen_worker(void *arg) {
                     p = e + 1;
                 }
             }
+            GP_ADD(1, ta0);
 
             i64 m = shift - 2;
             if (m < t->m_lo || m > t->m_hi) {
@@ -1155,6 +1171,7 @@ static void *gen_worker(void *arg) {
              * (parse_perfect_shiftxor.cpp:146-226) */
             i64 cutoff = m <= 6 ? 12 - m : m;
             {
+                GP_T0(tp0);
                 i64 P1 = T1 + 8 < L ? T1 + 8 : L;
                 uint8_t *restrict pm = pmb + 1;
                 pmb[0] = 0;
@@ -1200,21 +1217,25 @@ static void *gen_worker(void *arg) {
                     }
                 }
 #undef PM
+                GP_ADD(2, tp0);
             }
 
             /* substitution windows over raw eq (threshold 7) */
             if (nw > 0 && T0 < nw) {
+                GP_T0(tq0);
                 i64 W1 = T1 < nw ? T1 : nw;
                 win8_sums(ebm + (T0 - base), t8b, t8b, t8b, W1 - T0);
                 for (i64 w = 0; w < W1 - T0; w++)
                     qbb[w] = (t8b[w] >= 7) & (n8[T0 + w] == 0);
                 tile_byte_runs(qbb, T0, W1, nw, &q7_open[didx],
                                c, &c->q7_sm[didx]);
+                GP_ADD(3, tq0);
             }
 
             /* anchored windows over the overlay (threshold 6,
              * fasta_utils.cpp:145-165) */
             {
+                GP_T0(to0);
                 i64 O1 = T1 + 7;
                 memcpy(obb, ebm + (T0 - base), (size_t)(O1 - T0));
                 i64 nlo = m > 2 ? m - 2 : 1;
@@ -1235,6 +1256,8 @@ static void *gen_worker(void *arg) {
                     tile_byte_runs(qbb, T0, W1, nw, &q6_open[didx],
                                    c, &c->q6_sm[didx]);
                 }
+                GP_ADD(4, to0);
+                GP_T0(tk0);
 
                 /* pack the overlay for O(range/64) popcount / longest-run
                  * queries (lattice retain rules, refinement's
@@ -1266,6 +1289,7 @@ static void *gen_worker(void *arg) {
                         dst[wi] = word;
                     }
                 }
+                GP_ADD(5, tk0);
             }
 #undef EQM
         }
@@ -1284,6 +1308,11 @@ static void *gen_worker(void *arg) {
     for (int i = 0; i < 5; i++) { free(ebuf[i]); free(abuf[i]); }
     free(r3b); free(pmb); free(r6b); free(obb); free(t8b); free(qbb);
     free(perf_open); free(q7_open); free(q6_open);
+    if (gp_on)
+        for (int i = 0; i < 6; i++)
+            __atomic_fetch_add(&g_genprof[i], gp[i], __ATOMIC_RELAXED);
+#undef GP_T0
+#undef GP_ADD
     return NULL;
 }
 
@@ -1394,6 +1423,13 @@ static void generate_events(RibbitCore *c) {
     free(n8);
     free(c->q7_sm); free(c->q6_sm);
     c->q7_sm = NULL; c->q6_sm = NULL;
+    if (prof_on()) {
+        fprintf(stderr, "[core] genprof");
+        for (int i = 0; i < 6; i++)
+            fprintf(stderr, " %s=%.2fGc", g_genprof_names[i],
+                    g_genprof[i] / 1e9);
+        fprintf(stderr, "\n");
+    }
     c->events_ready = 1;
 }
 
