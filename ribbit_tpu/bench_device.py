@@ -32,14 +32,14 @@ import jax.numpy as jnp
 def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
     """Full-generation scan throughput over all motif channels, Mbp/s/chip.
 
-    Uses the manual-DMA v3 kernel (scan_pallas_v3): inputs stay in HBM and
-    stream through a double-buffered VMEM scratch, so the call length is
-    uncapped (v2's whole-input-in-VMEM spec topped out at ~1.5 Mbp) and
-    TILE=3072 fits, cutting halo overhead 1.63x -> 1.21x.  Measured on the
-    v5e chip at L=4M: ~214 Mbp/s at TILE=2048, ~231 at TILE=3072, vs v2's
-    95-121 (TILE=4096 exceeds scoped VMEM)."""
+    Uses the row-split manual-DMA v4 kernel (scan_pallas_v4): HBM inputs
+    stream through a double-buffered VMEM scratch and each program computes
+    only OUT_ROWS=4 shift rows (+2-row halo) of a TILE=16384 tile — the
+    sweep optimum; per-program live-set locality dominates even the 2x
+    row-recompute overhead.  Measured on the v5e chip at L=4M: ~960 Mbp/s
+    (v3 at TILE=3072: ~244; v2 whole-input-in-VMEM: 95-121)."""
     import numpy as np
-    from . import scan_pallas_v3 as v2              # kernel under test (v3)
+    from . import scan_pallas_v4 as v2              # kernel under test (v4)
     if cfg is None:
         from .config import RibbitConfig
         cfg = RibbitConfig.create()

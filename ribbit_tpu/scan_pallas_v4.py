@@ -1,0 +1,225 @@
+"""Row-split manual-DMA scan generation: v3 compute, few rows per program.
+
+v3 (scan_pallas_v3) holds every intermediate as an [nsp, EXT] int32 tensor;
+at nsp=104 that caps the tile length at 3072 (TILE=4096 exceeds scoped VMEM
+by ~2.1 MB) and, more importantly, keeps ~10 MB of live vectors per
+program.  Shift rows are independent except the overlay's ±2-row anchor OR
+(fasta_utils.cpp:146-160), so v4 runs the same kernel body over a ROW
+WINDOW: ceil(nsp/OUT_ROWS) pallas calls, each computing OUT_ROWS rows plus
+the 2-row halo per side.  The on-chip sweep was strongly monotone toward
+FEWER rows per program and longer tiles — per-program live-set locality
+dominates even the 2x row-recompute overhead at OUT_ROWS=4:
+
+    TILE/OUT_ROWS  3072/104(v3)  6144/52  8192/32  10240/24  12288/8  16384/4
+    Mbp/s/chip         244         396      483      543       796     963
+
+The wrapped rows a roll drags across the window edge are either masked by
+the global (row+d) validity test (window at the global edge) or land in
+halo rows that the host slice drops, so outputs are bit-equal to
+scan_pallas_full.generate_masks_pallas (cross-checked in
+tests/test_pallas.py and by an on-device diffcount vs v3).
+
+Reference citations as v2/v3: fasta_utils.cpp:120-122, 146-160, 165,
+parse_anchored_shiftxor.cpp:20-56, parse_substitute_shiftxor.cpp:391-577,
+parse_perfect_shiftxor.cpp:146-226.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import RibbitConfig, ANCHOR_SIZE, WINDOW_LENGTH
+from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
+                             _trail_ones, _lead_ones, _nsp_of)
+
+TILE = 16384
+RPAD = 768           # right context: max_shift + EXT overhang
+EXT = LPAD + TILE + CAP + 128
+CHUNK = LPAD + TILE + RPAD
+OUT_ROWS = 4         # output rows per call (sweep optimum, see module doc)
+HALO_R = 2           # overlay needs anchors of rows r-2..r+2
+
+
+def _kernel(L_ref, code_hbm, nmask_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
+            eq_scr, cbuf, nbuf, sems, *, rb, row0, out_lo, min_shift,
+            max_shift):
+    """rb rows of the shift space starting at global row `row0`; all rb
+    rows (including the overlay halo) are written out — the host slices the
+    rb-local output window [out_lo, out_lo + OUT_ROWS)."""
+    L = L_ref[0, 0]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    NS = max_shift - min_shift + 1
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def tile_dma(s, tidx):
+        base = tidx * TILE
+        return (pltpu.make_async_copy(code_hbm.at[:, pl.ds(base, CHUNK)],
+                                      cbuf.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(nmask_hbm.at[:, pl.ds(base, CHUNK)],
+                                      nbuf.at[s], sems.at[s, 1]))
+
+    @pl.when(i == 0)
+    def _():
+        d0, d1 = tile_dma(0, 0)
+        d0.start()
+        d1.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        d0, d1 = tile_dma(nxt, i + 1)
+        d0.start()
+        d1.start()
+
+    w0, w1 = tile_dma(slot, i)
+    w0.wait()
+    w1.wait()
+
+    base = i * TILE
+    buf = cbuf[slot]
+    nmv = nbuf[slot]
+
+    # raw eq rows into scratch: local row r = global shift min_shift+row0+r
+    here = buf[:, :EXT]
+    for r in range(rb):
+        g = row0 + r
+        if g < NS:
+            s = min_shift + g
+            eq_scr[r:r + 1, :] = (here == buf[:, s:s + EXT]).astype(jnp.int32)
+        else:
+            eq_scr[r:r + 1, :] = jnp.zeros((1, EXT), jnp.int32)
+
+    pos = _lane_iota(rb, EXT) + base - LPAD           # sequence position
+    rr = _row_iota(rb, EXT) + row0                    # global row index
+    row_s = rr + min_shift                            # row's shift value
+    valid_row = rr < NS
+
+    eq = eq_scr[:, :] * ((pos < L) & valid_row)
+
+    # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
+    hi = L - row_s                                    # per-row position bound
+    b = eq * (pos < hi)
+    trail = _trail_ones(b, rb, EXT)
+    lead = _lead_ones(b, rb, EXT)
+    rlen = trail + lead - 1
+    run_end = pos + lead
+    anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
+
+    # overlay: channel row r ORs anchors of global rows r-2, r-1, r+1, r+2.
+    # The roll wraps within the rb-row window; wrapped-in rows are either
+    # masked (global r+d outside [0, NS)) or only pollute halo rows that the
+    # output slice drops.
+    ov = eq
+    for d in (-2, -1, 1, 2):
+        rolled = pltpu.roll(anch, (rb - d) % rb, 0)
+        ok = (rr + d >= 0) & (rr + d < NS)
+        ov = ov | (rolled * ok)
+
+    # N-free windows (shared across rows)
+    nfree = (_win8(nmv[:, :EXT], 1, EXT)[:, LPAD:LPAD + TILE] == 0)
+
+    # window popcounts on eq (threshold 7) and overlay (threshold 6).
+    # Outputs carry the full rb-row window (halo rows included) because
+    # Mosaic cannot sublane-slice at non-8-aligned row offsets; the host
+    # drops the halo rows when concatenating.
+    s8 = _win8(eq, rb, EXT)[:, LPAD:LPAD + TILE]
+    o8 = _win8(ov, rb, EXT)[:, LPAD:LPAD + TILE]
+    q7_ref[:, :] = ((s8 >= 7) & nfree).astype(jnp.int8)
+    q6_ref[:, :] = ((o8 >= 6) & nfree).astype(jnp.int8)
+
+    # perfect runs: eq & ~N, start flags with len >= per-motif cutoff
+    pm = eq * (nmv[:, :EXT] == 0)
+    lead_pm = _lead_ones(pm, rb, EXT, steps=7)
+    sl = slice(LPAD, LPAD + TILE)
+    pm_t = pm[:, sl]
+    prev = pm[:, LPAD - 1:LPAD + TILE - 1]
+    m_row = _row_iota(rb, TILE) + row0 + min_shift
+    cutoff = jnp.where(m_row <= 6, 12 - m_row, m_row)
+    ps = pm_t * (1 - prev) * (lead_pm[:, sl] >= cutoff)
+    ps_ref[:, :] = ps.astype(jnp.int8)
+    pm_ref[:, :] = pm_t.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
+                                             "min_shift", "max_shift",
+                                             "interpret"))
+def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
+               max_shift, interpret):
+    Lp = code2d.shape[1] - LPAD - RPAD
+    grid = (Lp // TILE,)
+    out_shape = [jax.ShapeDtypeStruct((rb, Lp), jnp.int8)
+                 for _ in range(4)]
+    out_specs = [pl.BlockSpec((rb, TILE), lambda i: (0, i),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
+                               min_shift=min_shift, max_shift=max_shift)
+    L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        interpret=interpret,
+    )(L_arr, code2d, nmask2d)
+
+
+def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
+    """Row-split sweep: ceil(nsp / OUT_ROWS) calls of OUT_ROWS rows each
+    (with the ±HALO_R in-row halo), concatenated to [nsp, Lp] like v3."""
+    halves = []
+    nhalf = (nsp + OUT_ROWS - 1) // OUT_ROWS
+    for h in range(nhalf):
+        glo = h * OUT_ROWS                    # first output row (global)
+        row0 = max(0, glo - HALO_R)
+        out_lo = glo - row0
+        rb = out_lo + OUT_ROWS + HALO_R
+        rb = (rb + 7) & ~7                    # sublane multiple
+        outs = _scan_rows(code2d, nmask2d, L, rb=rb, row0=row0,
+                          out_lo=out_lo, min_shift=min_shift,
+                          max_shift=max_shift, interpret=interpret)
+        halves.append(tuple(o[out_lo:out_lo + OUT_ROWS] for o in outs))
+    return tuple(jnp.concatenate([halves[h][j] for h in range(nhalf)], axis=0)
+                 for j in range(4))
+
+
+def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
+    """int32 padded (1, LPAD+Lp+RPAD) arrays with non-matching sentinels in
+    the left pad (codes 5.. never equal a base) and N in the right pad."""
+    L = code.shape[0]
+    Lp = ((L + TILE - 1) // TILE) * TILE
+    code_p = np.zeros(LPAD + Lp + RPAD, dtype=np.int32)
+    code_p[LPAD:LPAD + L] = code
+    code_p[:LPAD] = (np.arange(-LPAD, 0) % 120) + 5
+    nm_p = np.ones(LPAD + Lp + RPAD, dtype=np.int32)
+    nm_p[LPAD:LPAD + L] = n_mask.astype(np.int32)
+    return code_p.reshape(1, -1), nm_p.reshape(1, -1)
+
+
+def generate_masks_pallas_v4(code: np.ndarray, n_mask: np.ndarray,
+                             cfg: RibbitConfig, interpret: bool = False):
+    """All-channels generation masks via the row-split manual-DMA kernel.
+    Returns int8 [nmotifs, L]: (qual7, qual6, perfect_start, perfect_mask)
+    bit-equal to scan_pallas_full.generate_masks_pallas."""
+    L = code.shape[0]
+    code_p, nm_p = _pad_inputs(code, n_mask)
+    nsp = _nsp_of(cfg)
+    res = _scan_all(jnp.asarray(code_p), jnp.asarray(nm_p), jnp.int32(L),
+                    nsp=nsp, min_shift=cfg.min_shift,
+                    max_shift=cfg.max_shift, interpret=interpret)
+    r0 = cfg.min_motif - cfg.min_shift
+    r1 = cfg.max_motif - cfg.min_shift + 1
+    return tuple(np.asarray(r)[r0:r1, :L] for r in res)

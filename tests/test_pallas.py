@@ -105,6 +105,27 @@ def test_pallas_v3_matches_v1(cpu_jax):
             assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
 
 
+def test_pallas_v4_matches_v1(cpu_jax):
+    """The row-split manual-DMA kernel (scan_pallas_v4: OUT_ROWS shift rows
+    + 2-row overlay halo per program, host drops the halo rows) must be
+    bit-equal to the proven per-group v1 masks on default and shifted motif
+    ranges, including N runs, sequence tails, and the row-window edges
+    where the overlay roll wraps."""
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.sim import simulate
+    from ribbit_tpu.scan_pallas_full import generate_masks_pallas
+    from ribbit_tpu.scan_pallas_v4 import generate_masks_pallas_v4
+
+    for cfg, seed in ((RibbitConfig.create(), 7),
+                      (RibbitConfig.create(min_motif=4, max_motif=37), 8)):
+        sim = simulate(num_loci=2, seed=seed, name="v4", n_block_rate=0.5)
+        code, n_mask = encode(sim.sequence)
+        v1 = generate_masks_pallas(code, n_mask, cfg, interpret=True)
+        v4 = generate_masks_pallas_v4(code, n_mask, cfg, interpret=True)
+        for a, b in zip(v1, v4):
+            assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
+
+
 def test_pallas_batched_ssw_forward(cpu_jax):
     """The batched SSW forward kernel must match the reference engine's
     score/end positions in both full-scan and reverse-terminate modes."""
