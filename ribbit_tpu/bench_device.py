@@ -89,11 +89,12 @@ def bench_align(B: int = 1024, R: int = 256, C: int = 384,
                 reps: int = 4) -> dict:
     """Batched SSW forward scoring throughput at refinement-typical shapes.
 
-    Uses the one-pair-per-lane v2 kernel (align_pallas_v2): each lane runs
-    an independent DP, 1024 pairs per grid step — measured ~23x the
-    column-parallel v1 layout on a v5e chip.  Same amortized methodology
-    as bench_scan: K chained perturbed invocations per scalar fetch."""
-    from . import align_pallas_v2 as v2
+    Uses the one-pair-per-lane v3 kernel (align_pallas_v3): each lane runs
+    an independent DP, 1024 pairs per grid step, row loop in 8-row
+    unrolled blocks — ~28 GCUPS on a v5e chip (v2: ~24, column-parallel
+    v1: ~1).  Same amortized methodology as bench_scan: K chained
+    perturbed invocations per scalar fetch."""
+    from . import align_pallas_v3 as v2
 
     rd = jax.random.randint(jax.random.PRNGKey(1), (R, B // 128, 128),
                             0, 4, dtype=jnp.int32)

@@ -38,11 +38,11 @@ def _translate_codes(s: str) -> np.ndarray:
 
 def _batch_forward_split(reads, refs, terms, interpret):
     """Dispatch a forward batch across the two Pallas kernels: the
-    one-pair-per-lane v2 kernel (≈23× v1 throughput measured on a v5e
-    chip) for pairs inside its VMEM row budget, the column-parallel v1
-    kernel for oversized pairs.  Returns per-pair (score, end_ref,
-    end_read, first_hit) in the input order."""
-    from . import align_pallas_v2 as v2
+    one-pair-per-lane v3 kernel (v2 with an 8-row-unrolled block loop,
+    ~28 GCUPS on a v5e chip) for pairs inside its VMEM row budget, the
+    column-parallel v1 kernel for oversized pairs.  Returns per-pair
+    (score, end_ref, end_read, first_hit) in the input order."""
+    from . import align_pallas_v3 as v2
 
     n = len(reads)
     small = [i for i in range(n)

@@ -173,6 +173,52 @@ def test_pallas_batched_ssw_forward(cpu_jax):
         assert erd2[i] == int(np.flatnonzero(bcr == terms[i])[0])
 
 
+def test_pallas_batched_ssw_forward_v3(cpu_jax):
+    """The 8-row-unrolled v3 SSW kernel must match the host spec in both
+    full-scan and reverse-terminate modes (same contract as v1/v2)."""
+    import numpy as np
+    from ribbit_tpu.align import translate, _forward_pass
+    from ribbit_tpu.align_pallas_v3 import batch_forward
+
+    rng = np.random.default_rng(11)
+    bases = "ACGTN"
+    reads, refs = [], []
+    for t in range(24):
+        n1 = int(rng.integers(3, 160))
+        n2 = int(rng.integers(3, 180))
+        if t % 2 == 0:
+            motif = "".join(bases[i] for i in rng.integers(0, 4,
+                                                           int(rng.integers(2, 12))))
+            q = list((motif * 40)[:n1])
+            for k in rng.integers(0, max(1, len(q)), max(1, n1 // 8)):
+                q[int(k)] = bases[int(rng.integers(0, 5))]
+            reads.append(translate("".join(q)))
+            refs.append(translate((motif * 60)[:n2]))
+        else:
+            reads.append(translate("".join(bases[i] for i in rng.integers(0, 5, n1))))
+            refs.append(translate("".join(bases[i] for i in rng.integers(0, 5, n2))))
+
+    score, end_ref, end_read, _ = batch_forward(reads, refs, interpret=True)
+    for i in range(len(reads)):
+        b, er, bc, _mc = _forward_pass(reads[i], refs[i])
+        assert score[i] == b and end_ref[i] == er
+        if er >= 0:
+            assert end_read[i] == int(np.flatnonzero(bc == b)[0])
+
+    terms = [int(score[i]) if end_ref[i] >= 0 else None for i in range(len(reads))]
+    rr = [reads[i][:int(end_read[i]) + 1][::-1].copy() if end_ref[i] >= 0
+          else reads[i] for i in range(len(reads))]
+    fr = [refs[i][:int(end_ref[i]) + 1][::-1].copy() if end_ref[i] >= 0
+          else refs[i] for i in range(len(reads))]
+    _s2, _er2, erd2, hit2 = batch_forward(rr, fr, terms, interpret=True)
+    for i in range(len(reads)):
+        if end_ref[i] < 0:
+            continue
+        _b, err, bcr, _ = _forward_pass(rr[i], fr[i], terminate=terms[i])
+        assert hit2[i] == err
+        assert erd2[i] == int(np.flatnonzero(bcr == terms[i])[0])
+
+
 def test_pallas_batched_ssw_forward_v2(cpu_jax):
     """The one-pair-per-lane v2 SSW kernel must match the host spec in both
     full-scan and reverse-terminate modes (same contract as v1)."""
