@@ -51,6 +51,7 @@ i64 ribbit_core_scan_stream(RibbitCore *c,
                             void (*cb)(void *arg, const i64 *seeds4, i64 n),
                             void *arg);
 void ribbit_core_get_seeds(RibbitCore *c, i64 *out);
+void ribbit_core_drop_overlay(RibbitCore *c);
 
 /* ------------------------------------------------------------------ */
 /* output buffer                                                      */
@@ -1521,7 +1522,8 @@ typedef struct {
     i64 published;                      /* seeds visible to workers */
     i64 total;                          /* valid once eof */
     i64 next_claim;                     /* next chunk index */
-    int eof, abandon;
+    i64 inflight;                       /* chunks being refined right now */
+    int eof, abandon, paused;
 } SStream;
 
 static inline const i64 *ss_seed(const SStream *ss, i64 k) {
@@ -1557,14 +1559,18 @@ static void *ss_worker(void *arg) {
             i64 avail = ss->eof
                 ? (ss->published + SS_CHUNK - 1) / SS_CHUNK
                 : ss->published / SS_CHUNK;
-            if (ss->next_claim < avail) {
+            if (!ss->paused && ss->next_claim < avail) {
                 ci = ss->next_claim++;
                 lo = ci * SS_CHUNK;
                 hi = lo + SS_CHUNK;
                 if (ss->eof && hi > ss->published) hi = ss->published;
+                ss->inflight++;
                 break;
             }
-            if (ss->eof) { pthread_mutex_unlock(&ss->mu); goto out; }
+            if (!ss->paused && ss->eof) {
+                pthread_mutex_unlock(&ss->mu);
+                goto out;
+            }
             pthread_cond_wait(&ss->cv, &ss->mu);
         }
         pthread_mutex_unlock(&ss->mu);
@@ -1574,7 +1580,11 @@ static void *ss_worker(void *arg) {
         x.out = out;
         for (i64 k = lo; k < hi; k++)
             refine_one(&x, ss_seed(ss, k), x.min_shift);
-        __atomic_store_n(&ss->chunk_out[ci], out, __ATOMIC_RELEASE);
+        pthread_mutex_lock(&ss->mu);
+        ss->chunk_out[ci] = out;
+        if (--ss->inflight == 0)
+            pthread_cond_broadcast(&ss->cv);
+        pthread_mutex_unlock(&ss->mu);
     }
 out:
     amemo_free();
@@ -1596,7 +1606,7 @@ char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
                          const i64 *min_length_tbl,
                          const i64 *perfect_units_tbl,
                          i64 tbl_size, const char *seq_id, i32 req_threads,
-                         i64 *out_len, i64 *out_nseeds) {
+                         i32 drop_overlay, i64 *out_len, i64 *out_nseeds) {
     static int malloc_tuned = 0;
     if (!malloc_tuned) {
         mallopt(M_MMAP_THRESHOLD, 64 << 20);
@@ -1651,6 +1661,21 @@ char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
     i64 published_pre = 0;  /* TEMP instrument */
     (void)published_pre;
     i64 n = ribbit_core_scan_stream(core, ss_push, &ss);
+    if (drop_overlay) {
+        /* release the ~12.4 B/bp packed overlay before the refine tail
+         * (large contigs; same point the two-phase path drops it).  The
+         * refine gate falls back to chunked recompute.  Workers may be
+         * mid-query, so quiesce first: pause claiming, wait until no
+         * chunk is in flight, then free. */
+        pthread_mutex_lock(&ss.mu);
+        ss.paused = 1;
+        while (ss.inflight > 0)
+            pthread_cond_wait(&ss.cv, &ss.mu);
+        ribbit_core_drop_overlay(core);
+        ss.paused = 0;
+        pthread_cond_broadcast(&ss.cv);
+        pthread_mutex_unlock(&ss.mu);
+    }
     if (getenv("RIBBIT_STREAM_DEBUG"))
         fprintf(stderr, "[stream] published=%lld claimed=%lld\n",
                 (long long)ss.published, (long long)ss.next_claim * SS_CHUNK);

@@ -79,7 +79,7 @@ def _get_core_lib_locked():
         ctypes.c_void_p, P8, PU8, P8, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         P64, P64, ctypes.c_int64, ctypes.c_char_p,
-        ctypes.c_int32, P64, P64]
+        ctypes.c_int32, ctypes.c_int32, P64, P64]
     lib.ribbit_buffer_free.restype = None
     lib.ribbit_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
     _lib = lib
@@ -176,10 +176,13 @@ class CoreSession:
                 perf_units[m] = v
         return tbl, min_len, perf_units
 
-    def scan_refine(self, sequence: str, sequence_id: str) -> list[str]:
+    def scan_refine(self, sequence: str, sequence_id: str,
+                    drop_overlay: bool = False) -> list[str]:
         """Combined scan + refinement with the serial anchored consume
         overlapped by the refinement pool (ribbit_scan_refine).  Output is
-        byte-identical to scan() followed by refine()."""
+        byte-identical to scan() followed by refine().  drop_overlay frees
+        the packed overlay cache between the scan and the refine tail
+        (large contigs), exactly like the two-phase path's drop."""
         from .align import _TRANSLATE
         raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
         translated = np.ascontiguousarray(_TRANSLATE[raw & 0x7F])
@@ -196,7 +199,8 @@ class CoreSession:
             self.code.shape[0], cfg.min_motif, cfg.max_motif, cfg.min_shift,
             min_len.ctypes.data_as(P64), perf_units.ctypes.data_as(P64),
             tbl, sequence_id.encode("latin-1", errors="replace"),
-            self.nthreads, ctypes.byref(out_len), ctypes.byref(nseeds))
+            self.nthreads, 1 if drop_overlay else 0,
+            ctypes.byref(out_len), ctypes.byref(nseeds))
         text = ctypes.string_at(buf, out_len.value).decode("latin-1")
         self.lib.ribbit_buffer_free(buf)
         return text.splitlines()

@@ -76,13 +76,14 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
         if (scan_backend == "host"
                 and not os.environ.get("RIBBIT_BATCHED_REFINE")
                 and not os.environ.get("RIBBIT_PY_REFINE")
-                and os.environ.get("RIBBIT_STREAM", "1") != "0"
-                and L < drop_min):
+                and os.environ.get("RIBBIT_STREAM", "1") != "0"):
             # streaming path: the serial anchored-consume walk overlaps the
             # refinement pool (ribbit_scan_refine); byte-identical to
-            # scan()+refine().  Large contigs keep the two-phase path so the
-            # packed overlay can be dropped between scan and refine.
-            for line in sess.scan_refine(sequence, sequence_id):
+            # scan()+refine().  Large contigs release the packed overlay at
+            # a quiescent point between the scan and the refine tail (same
+            # memory profile as the two-phase path's drop).
+            for line in sess.scan_refine(sequence, sequence_id,
+                                         drop_overlay=L >= drop_min):
                 emit(line)
             return
         if scan_backend == "tpu":
