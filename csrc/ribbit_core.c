@@ -1044,6 +1044,9 @@ typedef struct {
 /* generation section profile (RIBBIT_CORE_PROF): eqfill, anchors, perfect,
  * q7 windows, overlay(+q6), packing — cycles summed across workers */
 static inline int prof_on(void);            /* defined with the consume prof */
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 static _Atomic long long g_genprof[6];
 static const char *g_genprof_names[6] =
     {"eq", "anch", "perf", "q7", "ovl", "pack"};
@@ -1052,9 +1055,14 @@ static void *gen_worker(void *arg) {
     GenTask *t = (GenTask *)arg;
     long long gp[6] = {0, 0, 0, 0, 0, 0};
     int gp_on = prof_on();
+#if defined(__x86_64__)
 #define GP_T0(v) uint64_t v = gp_on ? __rdtsc() : 0
 #define GP_ADD(slot, v) do { if (gp_on) gp[slot] += \
     (long long)(__rdtsc() - (v)); } while (0)
+#else
+#define GP_T0(v) uint64_t v = 0; (void)v; (void)gp_on
+#define GP_ADD(slot, v) (void)(v)
+#endif
     RibbitCore *c = t->c;
     i64 L = c->L;
     i64 nw = L - WINDOW_LENGTH + 1;
@@ -1424,7 +1432,9 @@ static void generate_events(RibbitCore *c) {
     free(c->q7_sm); free(c->q6_sm);
     c->q7_sm = NULL; c->q6_sm = NULL;
     if (prof_on()) {
-        fprintf(stderr, "[core] genprof");
+        /* cumulative across the process (multi-contig runs overlap their
+         * generation passes, so per-call attribution would race) */
+        fprintf(stderr, "[core] genprof(cum)");
         for (int i = 0; i < 6; i++)
             fprintf(stderr, " %s=%.2fGc", g_genprof_names[i],
                     g_genprof[i] / 1e9);
@@ -2043,6 +2053,22 @@ static inline i64 advance_cursor(const SeedList *l, i64 from, i64 e) {
     return from;
 }
 
+/* Streaming-safe tombstone for the anchored phase.  The watermark argument
+ * for streamed finality assumed tombstones only touch entries with
+ * end >= the incoming event's seed start — but a merge restart
+ * (goto restart with seed_start = merge_start) can lower seed_start
+ * below W and then tombstone an entry the incremental merge already
+ * consumed (observed once per ~300 Mb: chr14 of the round-3 capstone).
+ * The watermark is therefore only a throttling heuristic; correctness
+ * comes from poisoning here whenever a tombstone lands behind the merge
+ * cursor on an entry the merge consumed as live (already-RANK_N entries
+ * were skipped, so re-tombstoning them cannot diverge). */
+static inline void anch_tomb(RibbitCore *c, SeedList *l, i64 cursor, i64 i) {
+    if (c->stream_cb && i < cursor && l->d[i].rank != RANK_N)
+        c->stream_poisoned = 1;
+    l->d[i].rank = RANK_N;
+}
+
 static FromIdx add_seed_anchored(RibbitCore *c, i64 seed_start, i64 seed_end,
                                  i64 motif_length, const i64 *seedlen_cutoffs,
                                  FromIdx from, i64 seed_type) {
@@ -2148,7 +2174,7 @@ restart:;
                 ANCH_FREE_ALL();
                 return from;
             } else if (seed_type == RANK_C && last_type == RANK_A) {
-                anchored->d[i].rank = RANK_N;
+                anch_tomb(c, anchored, c->sm_ai, i);
             } else {
                 iv_push(&identical, i);
             }
@@ -2168,7 +2194,7 @@ restart:;
                     return from;
                 } else if (last_mlen % motif_length == 0 && last_mlen != 4) {
                     if (seed_rlen >= last_mlen - 1 || seed_rlen >= last_length) {
-                        anchored->d[i].rank = RANK_N;
+                        anch_tomb(c, anchored, c->sm_ai, i);
                         seed_start = last_start;
                         seed_end = last_end;
                         ANCH_FREE_ALL();
@@ -2192,9 +2218,9 @@ restart:;
             if (last_type > seed_type) {
                 if (motif_length % last_mlen == 0) {
                     if (last_rlen >= motif_length - 2 || last_rlen >= seed_length - 2) {
-                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        if (last_type == RANK_P) anch_tomb(c, perfect, c->sm_pi, i);
                         else if (last_type == RANK_S || last_type == RANK_Q)
-                            substut->d[i].rank = RANK_N;
+                            anch_tomb(c, substut, c->sm_si, i);
                         motif_length = last_mlen;
                         seed_type = RANK_C;
                         ANCH_FREE_ALL();
@@ -2207,9 +2233,9 @@ restart:;
                 } else if (last_mlen % motif_length == 0) {
                     if (last_mlen >= 4 * motif_length ||
                         last_length >= 4 * motif_length) {
-                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        if (last_type == RANK_P) anch_tomb(c, perfect, c->sm_pi, i);
                         else if (last_type == RANK_S || last_type == RANK_Q)
-                            substut->d[i].rank = RANK_N;
+                            anch_tomb(c, substut, c->sm_si, i);
                         seed_type = RANK_C;
                         ANCH_FREE_ALL();
                         goto restart;
@@ -2220,9 +2246,9 @@ restart:;
                 } else if (last_mlen > motif_length) {
                     if (last_mlen >= 4 * motif_length ||
                         last_length >= 4 * motif_length) {
-                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        if (last_type == RANK_P) anch_tomb(c, perfect, c->sm_pi, i);
                         else if (last_type == RANK_S || last_type == RANK_Q)
-                            substut->d[i].rank = RANK_N;
+                            anch_tomb(c, substut, c->sm_si, i);
                         seed_type = RANK_C;
                         ANCH_FREE_ALL();
                         goto restart;
@@ -2233,20 +2259,20 @@ restart:;
                     iv_push(&po_sp_nonfactortypes, last_type);
                 }
             } else if (seed_type == RANK_C && last_type == RANK_A) {
-                anchored->d[i].rank = RANK_N;
+                anch_tomb(c, anchored, c->sm_ai, i);
             } else if ((seed_type == RANK_A && last_type == RANK_A) ||
                        (seed_type == RANK_C && last_type == RANK_C)) {
                 if (last_mlen == motif_length) {
-                    anchored->d[i].rank = RANK_N;
+                    anch_tomb(c, anchored, c->sm_ai, i);
                 } else {
                     if (!(core_bitcount(c, (i32)last_midx, last_start, last_end) >=
                           core_bitcount(c, (i32)seed_midx, last_start, last_end))) {
-                        anchored->d[i].rank = RANK_N;
+                        anch_tomb(c, anchored, c->sm_ai, i);
                     } else {
                         if (motif_length % last_mlen == 0) {
                             if (last_rlen >= motif_length - 2 ||
                                 last_rlen >= seed_length - 2) {
-                                anchored->d[i].rank = RANK_N;
+                                anch_tomb(c, anchored, c->sm_ai, i);
                                 motif_length = last_mlen;
                                 ANCH_FREE_ALL();
                                 goto restart;
@@ -2287,9 +2313,9 @@ restart:;
             if (seed_type == RANK_A && last_type > RANK_C) {
                 if (motif_length == last_mlen) {
                     if (overlap_length >= 4 * motif_length) {
-                        if (last_type == RANK_P) perfect->d[i].rank = RANK_N;
+                        if (last_type == RANK_P) anch_tomb(c, perfect, c->sm_pi, i);
                         else if (last_type == RANK_S || last_type == RANK_Q)
-                            substut->d[i].rank = RANK_N;
+                            anch_tomb(c, substut, c->sm_si, i);
                         seed_start = merge_start;
                         seed_end = merge_end;
                         seed_type = RANK_C;
@@ -2313,7 +2339,7 @@ restart:;
                         if (seed_length >= 3 * motif_length &&
                             (overlap_length >= 3 * motif_length - 1 ||
                              overlap_length >= seed_length - 1)) {
-                            anchored->d[i].rank = RANK_N;
+                            anch_tomb(c, anchored, c->sm_ai, i);
                             seed_start = merge_start;
                             seed_end = merge_end;
                             motif_length = last_mlen;
@@ -2322,7 +2348,7 @@ restart:;
                         } else if (seed_length < 3 * motif_length &&
                                    (overlap_length >= motif_length - 1 ||
                                     overlap_length >= seed_length - 1)) {
-                            anchored->d[i].rank = RANK_N;
+                            anch_tomb(c, anchored, c->sm_ai, i);
                             seed_start = merge_start;
                             seed_end = merge_end;
                             motif_length = last_mlen;
@@ -2333,7 +2359,7 @@ restart:;
                         if (last_length >= 3 * last_mlen &&
                             (overlap_length >= 3 * last_mlen - 1 ||
                              overlap_length >= last_length - 1)) {
-                            anchored->d[i].rank = RANK_N;
+                            anch_tomb(c, anchored, c->sm_ai, i);
                             seed_start = merge_start;
                             seed_end = merge_end;
                             motif_length = last_mlen;
@@ -2342,7 +2368,7 @@ restart:;
                         } else if (seed_length < 3 * last_mlen &&
                                    (overlap_length >= last_mlen - 1 ||
                                     overlap_length >= last_length - 1)) {
-                            anchored->d[i].rank = RANK_N;
+                            anch_tomb(c, anchored, c->sm_ai, i);
                             seed_start = merge_start;
                             seed_end = merge_end;
                             motif_length = last_mlen;

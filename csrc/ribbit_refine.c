@@ -1402,18 +1402,13 @@ static void rprof_report(void) {
  * a thread pool; per-seed output buffers are concatenated in seed order so
  * the BED text is byte-identical to the sequential run.  Returns a malloc'd
  * buffer (caller frees with ribbit_buffer_free); *out_len gets its length. */
-char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
-                        const uint8_t *nmask, const int8_t *translated,
-                        i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
-                        const i64 *min_length_tbl, const i64 *perfect_units_tbl,
-                        i64 tbl_size, const char *seq_id,
-                        const i64 *seeds, i64 nseeds, i32 req_threads,
-                        i64 *out_len) {
-    /* per-seed workspaces (alignment H/E rows, pseudo-perfect repeats,
-     * direction tapes) frequently exceed glibc's default 128 KB mmap
-     * threshold; with a thread pool that means an mmap/munmap pair + TLB
-     * shootdown per seed — observed as sys time exceeding user time on
-     * repeat-dense genomes.  Keep large blocks on the reusable heap. */
+/* shared entry preamble for both refinement entry points: malloc tuning
+ * (per-seed workspaces frequently exceed glibc's default 128 KB mmap
+ * threshold; with a thread pool that means an mmap/munmap pair + TLB
+ * shootdown per seed), canonicalizer tables, and the env gates resolved on
+ * the calling thread before workers exist (TSan-clean: pthread_create
+ * orders these writes before any worker read). */
+static void refine_entry_init(void) {
     static int malloc_tuned = 0;
     if (!malloc_tuned) {
         mallopt(M_MMAP_THRESHOLD, 64 << 20);
@@ -1423,10 +1418,28 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     pthread_once(&rc_once, rc_build_tables);
     ribbit_align_prof_on = rprof_on();
     ribbit_align_dump_on = getenv("RIBBIT_ALIGN_DUMP") != NULL;
-    /* resolve env gates on this thread before workers exist (TSan-clean:
-     * pthread_create orders these writes before any worker read) */
     amemo_resolve();
     vcmemo_resolve();
+}
+
+static i64 resolve_nthreads(i32 req_threads) {
+    i64 nthreads = req_threads;
+    if (nthreads <= 0) {
+        const char *env = getenv("RIBBIT_THREADS");
+        if (env) nthreads = atoll(env);
+        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
+    }
+    return nthreads < 1 ? 1 : nthreads;
+}
+
+char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
+                        const uint8_t *nmask, const int8_t *translated,
+                        i64 L, i32 min_motif, i32 max_motif, i32 min_shift,
+                        const i64 *min_length_tbl, const i64 *perfect_units_tbl,
+                        i64 tbl_size, const char *seq_id,
+                        const i64 *seeds, i64 nseeds, i32 req_threads,
+                        i64 *out_len) {
+    refine_entry_init();
 
     RefinePool pool;
     pool.proto.core = core;
@@ -1445,13 +1458,7 @@ char *ribbit_refine_run(RibbitCore *core, const int8_t *code,
     pool.proto.out = NULL;
     pool.seeds = seeds;
 
-    i64 nthreads = req_threads;
-    if (nthreads <= 0) {
-        const char *env = getenv("RIBBIT_THREADS");
-        if (env) nthreads = atoll(env);
-        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
-    }
-    if (nthreads < 1) nthreads = 1;
+    i64 nthreads = resolve_nthreads(req_threads);
     if (nthreads > nseeds) nthreads = nseeds > 0 ? nseeds : 1;
 
     if (nthreads == 1) {
@@ -1520,7 +1527,6 @@ typedef struct {
     pthread_mutex_t mu;
     pthread_cond_t cv;
     i64 published;                      /* seeds visible to workers */
-    i64 total;                          /* valid once eof */
     i64 next_claim;                     /* next chunk index */
     i64 inflight;                       /* chunks being refined right now */
     int eof, abandon, paused;
@@ -1575,7 +1581,7 @@ static void *ss_worker(void *arg) {
         }
         pthread_mutex_unlock(&ss->mu);
 
-        StrBuf *out = (StrBuf *)calloc(1, sizeof(StrBuf));
+        StrBuf *out = (StrBuf *)xcalloc(1, sizeof(StrBuf));
         RefineCtx x = ss->proto;
         x.out = out;
         for (i64 k = lo; k < hi; k++)
@@ -1607,25 +1613,8 @@ char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
                          const i64 *perfect_units_tbl,
                          i64 tbl_size, const char *seq_id, i32 req_threads,
                          i32 drop_overlay, i64 *out_len, i64 *out_nseeds) {
-    static int malloc_tuned = 0;
-    if (!malloc_tuned) {
-        mallopt(M_MMAP_THRESHOLD, 64 << 20);
-        mallopt(M_TRIM_THRESHOLD, 64 << 20);
-        malloc_tuned = 1;
-    }
-    pthread_once(&rc_once, rc_build_tables);
-    ribbit_align_prof_on = rprof_on();
-    ribbit_align_dump_on = getenv("RIBBIT_ALIGN_DUMP") != NULL;
-    amemo_resolve();
-    vcmemo_resolve();
-
-    i64 nthreads = req_threads;
-    if (nthreads <= 0) {
-        const char *env = getenv("RIBBIT_THREADS");
-        if (env) nthreads = atoll(env);
-        else nthreads = (i64)sysconf(_SC_NPROCESSORS_ONLN);
-    }
-    if (nthreads < 1) nthreads = 1;
+    refine_entry_init();
+    i64 nthreads = resolve_nthreads(req_threads);
 
     SStream ss;
     memset(&ss, 0, sizeof ss);
@@ -1658,8 +1647,6 @@ char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
             pthread_create(&tids[t], NULL, ss_worker, &ss);
     }
 
-    i64 published_pre = 0;  /* TEMP instrument */
-    (void)published_pre;
     i64 n = ribbit_core_scan_stream(core, ss_push, &ss);
     if (drop_overlay) {
         /* release the ~12.4 B/bp packed overlay before the refine tail
@@ -1676,17 +1663,17 @@ char *ribbit_scan_refine(RibbitCore *core, const int8_t *code,
         pthread_cond_broadcast(&ss.cv);
         pthread_mutex_unlock(&ss.mu);
     }
-    if (getenv("RIBBIT_STREAM_DEBUG"))
-        fprintf(stderr, "[stream] published=%lld claimed=%lld\n",
-                (long long)ss.published, (long long)ss.next_claim * SS_CHUNK);
     int poisoned = n < 0;
     if (poisoned) n = -n - 1;
+    if (getenv("RIBBIT_STREAM_DEBUG"))
+        fprintf(stderr, "[stream] published=%lld claimed=%lld poisoned=%d\n",
+                (long long)ss.published, (long long)ss.next_claim * SS_CHUNK,
+                poisoned);
     *out_nseeds = n;
 
     i64 nchunks = (ss.published + SS_CHUNK - 1) / SS_CHUNK;
     pthread_mutex_lock(&ss.mu);
     ss.eof = 1;
-    ss.total = ss.published;
     if (poisoned) ss.abandon = 1;
     pthread_cond_broadcast(&ss.cv);
     pthread_mutex_unlock(&ss.mu);

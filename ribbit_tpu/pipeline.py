@@ -121,8 +121,7 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
             # large contigs: hand back the packed overlay cache (~12.4 B/bp)
             # before refinement — its only remaining consumer is the
             # has-run-of-3 gate, which recomputes with early exit
-            if L >= int(os.environ.get("RIBBIT_OVERLAY_DROP_MIN",
-                                       64_000_000)):
+            if L >= drop_min:
                 sess.drop_overlay()
             for line in sess.refine(seeds, sequence, sequence_id):
                 emit(line)

@@ -62,3 +62,37 @@ def test_stream_single_thread(tmp_path):
     two = _run_cli(fa, tmp_path / "t2.bed", {"RIBBIT_THREADS": "2"})
     assert one == batch
     assert two == batch
+
+
+def test_stream_restart_tombstone_poison(tmp_path):
+    """Regression: a merge restart (goto restart with seed_start lowered to
+    the merged start) can tombstone an entry the incremental merge already
+    consumed — first seen as a 1-contig mismatch on chr14 of the 300 Mb
+    round-3 capstone.  anch_tomb must poison the stream so the exact batch
+    fallback runs.  The fixture regenerates the capstone contig's prefix
+    deterministically (chr14 = simulate(seed=38+13)); if the poison stops
+    firing here after a lattice change, re-pin a triggering fixture so the
+    fallback path stays exercised."""
+    import re
+    fa = tmp_path / "c14.fa"
+    sim = simulate(num_loci=640, seed=51, n_block_rate=0.1, name="c14")
+    seq = sim.sequence[:1_622_000]
+    with open(fa, "w") as fh:
+        fh.write(">c14\n")
+        for i in range(0, len(seq), 80):
+            fh.write(seq[i:i + 80] + "\n")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["RIBBIT_STREAM_DEBUG"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "ribbit_tpu.cli", "-i", str(fa),
+         "-o", str(tmp_path / "st.bed")],
+        check=True, env=env, cwd=REPO, capture_output=True, text=True)
+    stream = open(tmp_path / "st.bed", "rb").read()
+    batch = _run_cli(fa, tmp_path / "ba.bed", {"RIBBIT_STREAM": "0"})
+    assert stream == batch
+    m = re.search(r"poisoned=(\d)", r.stderr)
+    assert m and m.group(1) == "1", (
+        "fixture no longer triggers the restart-tombstone poison; "
+        "re-pin a triggering fixture: " + r.stderr[-300:])
