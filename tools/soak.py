@@ -15,6 +15,11 @@ Modes
   fuzz        adversarial small genomes: nested periods, indel-laden
               repeats, homopolymers, N patterns, random tails
   scale       0.7-2.5 Mb genomes, 1-2 contigs, varying --workers
+  stream      5-15 Mb single-contig genomes, ours STREAMING vs ours BATCH
+              (RIBBIT_STREAM=0) instead of the oracle — targets the
+              streaming consume->refine machinery (watermark finality,
+              restart-tombstone poison) at the scale where it triggers;
+              the batch path is the oracle-validated reference here
 
 Usage:  python tools/soak.py --mode fuzz --n 50 [--seed 0] [--keep-going]
 
@@ -154,6 +159,13 @@ def build_case(mode, it, seed, tmp):
                                          hi=30 if which == 0 else 6)]
     elif mode == "fuzz":
         write_fasta(fa, [("fz", gen_fuzz(rng))])
+    elif mode == "stream":
+        target = rng.randint(5_000_000, 15_000_000)
+        sim = simulate(num_loci=target // 2660,
+                       seed=rng.randrange(1 << 30),
+                       n_block_rate=rng.choice([0.0, 0.1, 0.3]),
+                       name="st0")
+        write_fasta(fa, [("st0", sim.sequence)])
     elif mode == "scale":
         target = rng.randint(700_000, 2_500_000)
         nrec = rng.randint(1, 2)
@@ -176,13 +188,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
                     choices=["content", "config", "sparse-tsv", "fuzz",
-                             "scale"])
+                             "scale", "stream"])
     ap.add_argument("--n", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--keep-going", action="store_true")
     args = ap.parse_args()
 
-    if not ORACLE.exists():
+    if args.mode != "stream" and not ORACLE.exists():
         subprocess.run(["bash", str(ORACLE.parent / "build.sh")], check=True)
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"ribbit_soak_{args.mode}_"))
@@ -191,8 +203,16 @@ def main() -> int:
         fa, extra, ours_extra = build_case(args.mode, it, args.seed, tmp)
         obed = tmp / f"o{it}.bed"
         rbed = tmp / f"r{it}.bed"
-        r = subprocess.run([str(ORACLE), "-i", str(fa), "-o", str(obed)]
-                           + extra, capture_output=True)
+        if args.mode == "stream":
+            import os
+            env = dict(os.environ)
+            env["RIBBIT_STREAM"] = "0"
+            r = subprocess.run([sys.executable, "-m", "ribbit_tpu.cli",
+                                "-i", str(fa), "-o", str(obed)] + extra,
+                               capture_output=True, cwd=REPO, env=env)
+        else:
+            r = subprocess.run([str(ORACLE), "-i", str(fa), "-o", str(obed)]
+                               + extra, capture_output=True)
         if r.returncode != 0:
             skipped += 1
             print(f"[{it}] oracle rc={r.returncode} -> skipped")
