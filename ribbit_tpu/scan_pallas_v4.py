@@ -179,7 +179,14 @@ def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
 
 def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
     """Row-split sweep: ceil(nsp / OUT_ROWS) calls of OUT_ROWS rows each
-    (with the ±HALO_R in-row halo), concatenated to [nsp, Lp] like v3."""
+    (with the ±HALO_R in-row halo), concatenated to [nsp, Lp] like v3.
+
+    row0/rb/out_lo are static, so the default config compiles ~26 kernel
+    variants.  Deliberate: the variants differ only in the row-window
+    origin and Mosaic compiles the 8-row program in well under a second
+    each (whole sweep ~8-12 s cold, cached thereafter); making row0 an
+    SMEM scalar would force the per-row eq slice offsets dynamic, which
+    costs more inside the kernel than it saves at compile time."""
     halves = []
     nhalf = (nsp + OUT_ROWS - 1) // OUT_ROWS
     for h in range(nhalf):
