@@ -885,6 +885,48 @@ static int32_t banded_sw(const int8_t *ref, int32_t refLen,
                             band_width, ops_len, ops_ch, ops_cap);
 }
 
+/* First exact occurrence of read in ref under the scoring alphabet
+ * (bases >= 4 never score a match, ribbit_align.c:score, so they never
+ * "occur"), -1 when absent.  Plain KMP, O(R + C).
+ *
+ * Used as a forward-pass shortcut: a local alignment scores 2R only by
+ * matching ALL R read bases contiguously with zero penalties (matches are
+ * +2 each and at most R of them exist; any gap/mismatch subtracts), i.e.
+ * exactly when read occurs in ref.  The forward pass picks the FIRST
+ * column reaching the global max and the first row there
+ * (align.py:_forward_pass tie rules), and 2R is the global max whenever it
+ * is achievable (score <= 2*min(R, C)), so an occurrence at minimal d
+ * forces score1 = 2R, end_ref = d + R - 1 (an earlier column scoring 2R
+ * would itself be a full-match diagonal, i.e. an earlier occurrence) and
+ * end_read = R - 1 (row j is bounded by 2(j+1) < 2R for j < R-1).  Seeds
+ * are aligned against a pseudo-perfect tiling of their own inferred motif
+ * (parse_seed.cpp:381,401-404), so pure repeats — a large share of calls —
+ * take this O(R + C) path instead of the O(R*C) DP. */
+static int32_t kmp_first_occurrence(const int8_t *read, int32_t R,
+                                    const int8_t *ref, int32_t C) {
+    if (R <= 0 || R > C) return -1;
+    for (int32_t i = 0; i < R; i++)
+        if (read[i] >= 4) return -1;
+    int32_t *fail = (int32_t *)malloc((size_t)R * sizeof(int32_t));
+    if (!fail) return -1;
+    fail[0] = 0;
+    for (int32_t i = 1, k = 0; i < R; i++) {
+        while (k && read[i] != read[k]) k = fail[k - 1];
+        if (read[i] == read[k]) k++;
+        fail[i] = k;
+    }
+    int32_t found = -1;
+    for (int32_t j = 0, k = 0; j < C; j++) {
+        int8_t c = ref[j];
+        if (c >= 4) { k = 0; continue; }
+        while (k && c != read[k]) k = fail[k - 1];
+        if (c == read[k]) k++;
+        if (k == R) { found = j - R + 1; break; }
+    }
+    free(fail);
+    return found;
+}
+
 static int32_t emit_num(char *buf, int32_t pos, int32_t cap, int32_t v, char op) {
     char tmp[16];
     int n = snprintf(tmp, sizeof tmp, "%d%c", v, op);
@@ -907,11 +949,22 @@ int ribbit_align(const int8_t *read, int32_t R,
     int32_t *E = (int32_t *)malloc((size_t)R * sizeof(int32_t));
     int32_t *bc = (int32_t *)malloc((size_t)R * sizeof(int32_t));
 
-    int32_t end_ref, end_read;
-    AP_T0(tf0);
-    int32_t score1 = forward_locate(read, R, ref, C, -1, -1, H, E, bc,
-                                    &end_ref, &end_read);
-    AP_ADD(0, tf0);
+    int32_t end_ref, end_read, score1;
+    /* O(R + C) occurrence precheck replaces the O(R*C) forward pass for
+     * pure repeats (exactness argument at kmp_first_occurrence).  Gated on
+     * 2R < WORD_MAX so the clamp semantics of large seeds are untouched. */
+    int32_t pre_d = (2LL * R < WORD_MAX)
+                        ? kmp_first_occurrence(read, R, ref, C) : -1;
+    if (pre_d >= 0) {
+        score1 = 2 * R;
+        end_ref = pre_d + R - 1;
+        end_read = R - 1;
+    } else {
+        AP_T0(tf0);
+        score1 = forward_locate(read, R, ref, C, -1, -1, H, E, bc,
+                                &end_ref, &end_read);
+        AP_ADD(0, tf0);
+    }
     if (end_ref < 0) {
         out[0] = 0; out[2] = -1; out[4] = R - 1;
         free(H); free(E); free(bc);

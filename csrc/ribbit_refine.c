@@ -675,6 +675,32 @@ static inline uint64_t vc_hash(const uint8_t *p, i64 n, uint64_t h) {
 
 static int g_vcmemo_on = -1;
 
+/* env-gated (RIBBIT_VOTE_DUMP=path) per-kernel-run dump for offline cost
+ * analysis: "seed_start ssl m cycles" per actual (non-memoized) vote run */
+static FILE *g_vdump;
+
+static i32 vote_kernel_run(const RefineCtx *x, i64 seed_start, i64 ssl,
+                           i64 m) {
+    if (!g_vdump)
+        return ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                                  (i32)seed_start, (i32)ssl, (i32)m);
+#if defined(__x86_64__)
+    uint64_t t0 = __rdtsc();
+#endif
+    i32 r = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
+                               (i32)seed_start, (i32)ssl, (i32)m);
+#if defined(__x86_64__)
+    unsigned long long dt = (unsigned long long)(__rdtsc() - t0);
+#else
+    unsigned long long dt = 0;
+#endif
+    flockfile(g_vdump);
+    fprintf(g_vdump, "%lld %lld %lld %llu\n", (long long)seed_start,
+            (long long)ssl, (long long)m, dt);
+    funlockfile(g_vdump);
+    return r;
+}
+
 /* resolve the env gate on the main thread (ribbit_refine_run) before any
  * worker reads it — pthread_create gives the happens-before edge */
 static void vcmemo_resolve(void) {
@@ -690,13 +716,11 @@ static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
     i64 lo = seed_start - 1, span = ssl + 1;   /* window [lo, seed_end) */
     if (!g_vcmemo_on || seed_start < 1 || seed_start + ssl + m + 2 > x->L ||
         span > VCMEMO_MAX_BYTES)
-        return ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
-                                  (i32)seed_start, (i32)ssl, (i32)m);
+        return vote_kernel_run(x, seed_start, ssl, m);
     if (!t_vcmemo) {
         t_vcmemo = (VCMemoEnt *)calloc((size_t)VCMEMO_N, sizeof(VCMemoEnt));
         if (!t_vcmemo)
-            return ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
-                                      (i32)seed_start, (i32)ssl, (i32)m);
+            return vote_kernel_run(x, seed_start, ssl, m);
     }
     uint64_t h = vc_hash((const uint8_t *)(x->code + lo), span,
                          0x9E3779B97F4A7C15ULL ^ (uint64_t)ssl);
@@ -708,8 +732,7 @@ static i32 vote_longer_memo(const RefineCtx *x, i64 seed_start, i64 ssl,
         RPROF_N(RP_VHIT, 1);
         return e->rel == VCMEMO_REL_ZERO ? 0 : (i32)seed_start + e->rel;
     }
-    i32 r = ribbit_vote_longer(x->code, x->nmask, (i32)x->L,
-                               (i32)seed_start, (i32)ssl, (i32)m);
+    i32 r = vote_kernel_run(x, seed_start, ssl, m);
     i64 net = 2 * span - (e->win ? 2 * (i64)(e->ssl + 1) : 0);
     if (t_vcmemo_bytes + net > VCMEMO_BUDGET)
         return r;                   /* per-thread residency cap */
@@ -1420,6 +1443,10 @@ static void refine_entry_init(void) {
     ribbit_align_dump_on = getenv("RIBBIT_ALIGN_DUMP") != NULL;
     amemo_resolve();
     vcmemo_resolve();
+    if (!g_vdump) {
+        const char *vd = getenv("RIBBIT_VOTE_DUMP");
+        if (vd) g_vdump = fopen(vd, "a");
+    }
 }
 
 static i64 resolve_nthreads(i32 req_threads) {

@@ -97,6 +97,28 @@ def test_native_align_matches_spec(c_align):
             assert cg_c == cg_s, (q, r, cg_c, cg_s)
 
 
+def test_kmp_forward_shortcut_pure_occurrences(c_align):
+    """The forward-pass occurrence shortcut (kmp_first_occurrence,
+    ribbit_align.c): pure reads sliced out of the periodic reference at
+    random offsets occur at many d — the shortcut must reproduce the full
+    DP's first-best column/row exactly (end_ref = first occurrence end)."""
+    rng = random.Random(321)
+    for _ in range(200):
+        m = rng.randint(2, 30)
+        motif = "".join(rng.choice(BASES) for _ in range(m))
+        ppr_len = rng.randint(m * 2, 400)
+        r = (motif * (ppr_len // m + 3))[:ppr_len]
+        off = rng.randrange(len(r) // 2 + 1)
+        R = rng.randint(1, len(r) - off)
+        q = r[off:off + R]
+        rc_c, out_c, cg_c = c_align(q, r)
+        rc_s, out_s, cg_s = _spec(q, r)
+        assert (rc_c == 1) == (rc_s == 1), (q, r)
+        if rc_s == 0:
+            assert out_c == out_s, (q, r, out_c, out_s)
+            assert cg_c == cg_s, (q, r, cg_c, cg_s)
+
+
 def test_band_regression_tight_slack(c_align):
     """The pair that exposed the original band off-by-one: one deletion,
     slack == GAP_O exactly (band must be 1, not 0)."""
