@@ -34,10 +34,11 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
 
     Uses the row-split manual-DMA v4 kernel (scan_pallas_v4): HBM inputs
     stream through a double-buffered VMEM scratch and each program computes
-    only OUT_ROWS=4 shift rows (+2-row halo) of a TILE=16384 tile — the
+    only OUT_ROWS=4 shift rows (+2-row halo) of a TILE=32768 tile — the
     sweep optimum; per-program live-set locality dominates even the 2x
-    row-recompute overhead.  Measured on the v5e chip at L=4M: ~960 Mbp/s
-    (v3 at TILE=3072: ~244; v2 whole-input-in-VMEM: 95-121)."""
+    row-recompute overhead.  Measured on the v5e chip at L=4M:
+    ~970-1030 Mbp/s (TILE=16384: ~963; v3 at TILE=3072: ~244; v2
+    whole-input-in-VMEM: 95-121)."""
     import numpy as np
     from . import scan_pallas_v4 as v2              # kernel under test (v4)
     if cfg is None:

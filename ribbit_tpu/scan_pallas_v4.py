@@ -10,8 +10,20 @@ the 2-row halo per side.  The on-chip sweep was strongly monotone toward
 FEWER rows per program and longer tiles — per-program live-set locality
 dominates even the 2x row-recompute overhead at OUT_ROWS=4:
 
-    TILE/OUT_ROWS  3072/104(v3)  6144/52  8192/32  10240/24  12288/8  16384/4
-    Mbp/s/chip         244         396      483      543       796     963
+    TILE/OUT_ROWS  3072/104(v3)  6144/52  8192/32  10240/24  12288/8  16384/4  32768/4  40960/4
+    Mbp/s/chip         244         396      483      543       796     963      1024     1031
+
+TILE=32768 is the shipped config (40960 is within noise of it and sits at
+the scoped-VMEM edge — 49152 is rejected by the compiler; 32768 keeps
+margin).  Two measured-and-rejected follow-ups (round 4): packing the four
+0/1 planes into bits 0-3 of ONE int8 store was a net LOSS (934/873 vs
+963/1024 at TILE 16k/32k — the kernel is compute-bound, and a 1-store
+ablation that suggested store savings was confounded by dead-code
+elimination of the unstored planes' compute); a group-sequential
+single-program variant with a rolling 3-group anchor window (no halo
+recompute, one pallas call) compiled to a 14-group unrolled body that ran
+4x SLOWER (229 Mbp/s, 117 s compile) — Mosaic's scheduling collapses at
+that body size, so the 2x halo recompute stays.
 
 The wrapped rows a roll drags across the window edge are either masked by
 the global (row+d) validity test (window at the global edge) or land in
@@ -38,7 +50,7 @@ from .config import RibbitConfig, ANCHOR_SIZE, WINDOW_LENGTH
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
                              _trail_ones, _lead_ones, _nsp_of)
 
-TILE = 16384
+TILE = 32768
 RPAD = 768           # right context: max_shift + EXT overhang
 EXT = LPAD + TILE + CAP + 128
 CHUNK = LPAD + TILE + RPAD

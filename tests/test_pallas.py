@@ -110,20 +110,38 @@ def test_pallas_v4_matches_v1(cpu_jax):
     + 2-row overlay halo per program, host drops the halo rows) must be
     bit-equal to the proven per-group v1 masks on default and shifted motif
     ranges, including N runs, sequence tails, and the row-window edges
-    where the overlay roll wraps."""
+    where the overlay roll wraps.
+
+    The interpret run patches TILE down to 8192 (interpret cost scales
+    with EXT): the kernel algebra and the dependency-cone exactness
+    argument are TILE-independent, and the shipped TILE=32768 config is
+    separately validated on-chip by a diffcount vs the 16384 config
+    (EVIDENCE.md)."""
+    import ribbit_tpu.scan_pallas_v4 as m
     from ribbit_tpu.encode import encode
     from ribbit_tpu.sim import simulate
     from ribbit_tpu.scan_pallas_full import generate_masks_pallas
     from ribbit_tpu.scan_pallas_v4 import generate_masks_pallas_v4
 
-    for cfg, seed in ((RibbitConfig.create(), 7),
-                      (RibbitConfig.create(min_motif=4, max_motif=37), 8)):
-        sim = simulate(num_loci=2, seed=seed, name="v4", n_block_rate=0.5)
-        code, n_mask = encode(sim.sequence)
-        v1 = generate_masks_pallas(code, n_mask, cfg, interpret=True)
-        v4 = generate_masks_pallas_v4(code, n_mask, cfg, interpret=True)
-        for a, b in zip(v1, v4):
-            assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
+    saved = (m.TILE, m.EXT, m.CHUNK)
+    m.TILE = 8192
+    m.EXT = m.LPAD + m.TILE + 256 + 128
+    m.CHUNK = m.LPAD + m.TILE + m.RPAD
+    try:
+        for cfg, seed in ((RibbitConfig.create(), 7),
+                          (RibbitConfig.create(min_motif=4, max_motif=37), 8)):
+            sim = simulate(num_loci=2, seed=seed, name="v4", n_block_rate=0.5)
+            code, n_mask = encode(sim.sequence)
+            v1 = generate_masks_pallas(code, n_mask, cfg, interpret=True)
+            v4 = generate_masks_pallas_v4(code, n_mask, cfg, interpret=True)
+            for a, b in zip(v1, v4):
+                assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
+    finally:
+        m.TILE, m.EXT, m.CHUNK = saved
+        # _scan_rows traces capture the module globals; drop them so no
+        # later same-process caller reuses an 8192-geometry trace
+        import jax
+        jax.clear_caches()
 
 
 def test_pallas_batched_ssw_forward(cpu_jax):
