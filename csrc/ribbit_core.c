@@ -1421,6 +1421,10 @@ static void generate_events(RibbitCore *c) {
     if (nthreads == 1) {
         gen_worker(&tasks[0]);
     } else {
+        /* resolve the profile env gate on this thread before workers read
+         * it (pthread_create gives the happens-before edge) — same
+         * pre-resolution pattern as amemo/vcmemo in ribbit_refine.c */
+        (void)prof_on();
         for (i64 t = 0; t < nthreads; t++)
             pthread_create(&tids[t], NULL, gen_worker, &tasks[t]);
         for (i64 t = 0; t < nthreads; t++)
