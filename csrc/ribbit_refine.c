@@ -1446,6 +1446,10 @@ static void refine_entry_init(void) {
     if (!g_vdump) {
         const char *vd = getenv("RIBBIT_VOTE_DUMP");
         if (vd) g_vdump = fopen(vd, "a");
+        /* line-buffered so an abnormal exit loses at most one record;
+         * single-process usage assumed (concurrent appenders could still
+         * interleave lines, but each line flushes whole) */
+        if (g_vdump) setvbuf(g_vdump, NULL, _IOLBF, 0);
     }
 }
 

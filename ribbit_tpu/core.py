@@ -87,6 +87,13 @@ def _get_core_lib_locked():
     return _lib
 
 
+# the core stores event/emission positions as i32 (an order of magnitude
+# above the longest real chromosome); contigs at or past this length are
+# auto-chunked by the pipeline (process_sequence routes them through
+# process_sequence_chunked) instead of reaching a CoreSession
+MAX_CONTIG = 2**31 - 64
+
+
 class CoreSession:
     """Owns a native core handle for one sequence (keeps the numpy buffers
     alive for the C side)."""
@@ -96,10 +103,7 @@ class CoreSession:
         self.lib = get_core_lib()
         if self.lib is None:
             raise RuntimeError("native core unavailable")
-        if code.shape[0] >= 2**31 - 64:
-            # the core stores event/emission positions as i32 (an order of
-            # magnitude above the longest real chromosome); beyond that the
-            # caller must chunk or use the Python engine
+        if code.shape[0] >= MAX_CONTIG:
             raise RuntimeError("native core: contig exceeds 2^31-64 bp")
         self.code = np.ascontiguousarray(code, dtype=np.int8)
         self.n_mask = np.ascontiguousarray(n_mask).view(np.uint8)

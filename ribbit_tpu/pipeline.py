@@ -205,6 +205,19 @@ def process_sequence(sequence_id: str, sequence: str, cfg: RibbitConfig,
         return lines
 
     if engine == "core":
+        from .core import MAX_CONTIG
+        if len(sequence) >= MAX_CONTIG:
+            # past the native core's i32 position range: auto-chunk at
+            # big-N-run midpoints (exact splits) instead of erroring out
+            print(f"ribbit-tpu: {sequence_id} exceeds 2^31-64 bp; "
+                  "auto-chunking", file=sys.stderr)
+            # chunk_size/halo relative to the contig so chunk spans stay
+            # well under the cap and never route back here
+            over_chunk = min(8 << 20, len(sequence) // 8)
+            lines.extend(process_sequence_chunked(
+                sequence_id, sequence, cfg, chunk_size=over_chunk,
+                halo=min(1 << 16, over_chunk // 4), strict=True))
+            return lines
         try:
             _process_core(sequence_id, sequence, cfg, emit, scan_backend,
                           nthreads=nthreads)
@@ -286,8 +299,20 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
     if L <= chunk_size + chunk_size // 2:
         return process_sequence(sequence_id, sequence, cfg)
 
+    from .core import MAX_CONTIG
     _code, n_mask = encode(sequence)
     splits = _choose_splits(n_mask, chunk_size, strict=strict)
+    if strict and not splits and L >= MAX_CONTIG:
+        # over-cap contig with no big-N-run split points: raw-offset splits
+        # with halo are the only way through the native core's i32 range.
+        # Output can differ from a (hypothetical) whole-contig run within
+        # +-halo of each cut; real genomes always have qualifying N runs.
+        import sys as _sys
+        print(f"ribbit-tpu: {sequence_id}: no N-run split points; using "
+              "raw-offset chunking (output near cut points is best-effort)",
+              file=_sys.stderr)
+        strict = False
+        splits = _choose_splits(n_mask, chunk_size, strict=False)
     if not splits:
         return process_sequence(sequence_id, sequence, cfg)
     if strict:

@@ -51,3 +51,31 @@ def test_chunked_loose_matches_away_from_cuts():
     # overwhelming majority to agree
     inter = len(set(whole) & set(chunked))
     assert inter >= 0.9 * max(len(whole), 1)
+
+
+def test_over_cap_contig_auto_chunks(gapped_genome, monkeypatch):
+    """Contigs past the native core's i32 position range must auto-chunk
+    (strict N-run splits) instead of raising.  The cap is patched down so
+    the over-cap branch is exercised at test scale."""
+    import ribbit_tpu.core as core
+    cfg = RibbitConfig.create()
+    whole = process_sequence("chr", gapped_genome, cfg)
+    # cap must exceed the strict chunk spans (N gaps sit ~52 kb apart in
+    # the fixture) or the auto-chunked pieces would re-enter the over-cap
+    # branch; the production cap is 4 orders of magnitude above chunk size
+    monkeypatch.setattr(core, "MAX_CONTIG", 120_000)
+    chunked = process_sequence("chr", gapped_genome, cfg)
+    assert chunked == whole
+
+
+def test_over_cap_contig_without_n_runs_degrades_gracefully(monkeypatch):
+    """Over-cap contig with no big-N-run split points: raw-offset chunking
+    (best-effort near cuts) instead of a hard RuntimeError."""
+    import ribbit_tpu.core as core
+    sim = simulate(num_loci=24, seed=77, name="dense")  # no N gaps
+    cfg = RibbitConfig.create()
+    whole = process_sequence("chr", sim.sequence, cfg)
+    monkeypatch.setattr(core, "MAX_CONTIG", 60_000)
+    chunked = process_sequence("chr", sim.sequence, cfg)
+    inter = len(set(whole) & set(chunked))
+    assert inter >= 0.9 * max(len(whole), 1)

@@ -125,7 +125,7 @@ def test_pallas_v4_matches_v1(cpu_jax):
 
     saved = (m.TILE, m.EXT, m.CHUNK)
     m.TILE = 8192
-    m.EXT = m.LPAD + m.TILE + 256 + 128
+    m.EXT = m.LPAD + m.TILE + m.CAP + 128
     m.CHUNK = m.LPAD + m.TILE + m.RPAD
     try:
         for cfg, seed in ((RibbitConfig.create(), 7),

@@ -33,8 +33,12 @@ from ribbit_tpu.fasta import read_fasta       # noqa: E402
 
 
 def smallest_period(w) -> int:
-    """Smallest string period via the KMP failure function."""
+    """Smallest string period via the KMP failure function.  A window is
+    EXACTLY periodic with period q only when q also divides len(w); a q
+    with len(w) % q != 0 means a partial trailing copy (weak period)."""
     n = len(w)
+    if n == 0:
+        return 0
     fail = np.zeros(n, dtype=np.int64)
     k = 0
     for i in range(1, n):
@@ -67,7 +71,12 @@ def main() -> None:
                 cache[key] = "boundary_or_N"
             else:
                 q = smallest_period(code[ss:ss + ssl])
-                cache[key] = ("periodic" if q <= ssl // 2 else "aperiodic")
+                if q <= ssl // 2 and ssl % q == 0:
+                    cache[key] = "periodic"        # exact: q | len
+                elif q <= ssl // 2:
+                    cache[key] = "weakly_periodic"  # partial trailing copy
+                else:
+                    cache[key] = "aperiodic"
         cls = cache[key]
         by[cls][0] += cyc
         by[cls][1] += 1
