@@ -326,6 +326,13 @@ typedef struct RibbitCore {
     struct Q6Sink *q6_sink;     /* classified anchored emissions */
     struct WinSM *q7_sm, *q6_sm;
     int q6_evec_mode;           /* fallback: plain vectors instead of sinks */
+    int capture_runs;           /* generation captures raw qualified runs
+                                 * into q7_s/q7_e/q6_s/q6_e (the injected-
+                                 * events representation) instead of
+                                 * feeding the scanner state machines;
+                                 * used by the exact chunked/distributed
+                                 * paths (extract -> stitch -> one global
+                                 * replay) */
     i64 *eval_lo, *eval_hi, *evseg_b;   /* wide-segment windows (shared) */
     i64 n_wide;
     int events_ready;
@@ -826,6 +833,8 @@ typedef struct WinSM {
     int fed;                    /* zero runs -> zero emissions */
     EVec *out;                  /* plain sink (q7 / injected paths) */
     Q6Sink *q6;                 /* classified sink (anchored host path) */
+    IV32 *cap_s, *cap_e;        /* capture mode: raw runs recorded here,
+                                 * state machine bypassed */
 } WinSM;
 
 static inline void winsm_emit(WinSM *sm, Emis em) {
@@ -852,6 +861,7 @@ static void winsm_init(WinSM *sm, i64 m, i32 didx, EVec *out, Q6Sink *q6) {
     sm->m = m; sm->didx = didx; sm->fed = 0;
     sm->out = out;
     sm->q6 = q6;
+    sm->cap_s = sm->cap_e = NULL;
 }
 
 /* shared evaluated-window intervals per wide segment: w in
@@ -877,6 +887,11 @@ static void build_eval_segments(RibbitCore *c) {
 }
 
 static void winsm_feed(RibbitCore *c, WinSM *sm, i64 ws, i64 we_excl) {
+    if (sm->cap_s) {            /* capture mode: record the raw run */
+        iv32_push(sm->cap_s, (i32)ws);
+        iv32_push(sm->cap_e, (i32)we_excl);
+        return;
+    }
     const i64 W = WINDOW_LENGTH;
     i64 L = c->L;
     i32 didx = sm->didx;
@@ -922,6 +937,7 @@ static void winsm_feed(RibbitCore *c, WinSM *sm, i64 ws, i64 we_excl) {
 }
 
 static void winsm_finish(RibbitCore *c, WinSM *sm) {
+    if (sm->cap_s) return;      /* capture mode: no emissions */
     const i64 W = WINDOW_LENGTH;
     i64 L = c->L;
     i32 didx = sm->didx;
@@ -1372,6 +1388,21 @@ static void generate_events(RibbitCore *c) {
                    c->q6_evec_mode ? &c->q6_emis[d] : NULL,
                    c->q6_evec_mode ? NULL : &c->q6_sink[d]);
     }
+    if (c->capture_runs) {
+        /* record raw qualified runs in the injected-events representation
+         * instead of feeding the scanner state machines (channels are
+         * worker-partitioned, so per-channel pushes never contend) */
+        c->q7_s = (IV32 *)xcalloc(nm, sizeof(IV32));
+        c->q7_e = (IV32 *)xcalloc(nm, sizeof(IV32));
+        c->q6_s = (IV32 *)xcalloc(nm, sizeof(IV32));
+        c->q6_e = (IV32 *)xcalloc(nm, sizeof(IV32));
+        for (i32 d = 0; d < nm; d++) {
+            c->q7_sm[d].cap_s = &c->q7_s[d];
+            c->q7_sm[d].cap_e = &c->q7_e[d];
+            c->q6_sm[d].cap_s = &c->q6_s[d];
+            c->q6_sm[d].cap_e = &c->q6_e[d];
+        }
+    }
 
     /* shared per-window N counts */
     uint8_t *n8 = (uint8_t *)calloc((size_t)(L + GEN_PAD), 1);
@@ -1391,7 +1422,7 @@ static void generate_events(RibbitCore *c) {
     /* ~12.4 bytes/base (nmotifs * L/8): a 250 Mb chromosome costs ~3.1 GB,
      * cheap against the O(events) query savings on any genome-scale host */
     i64 cache_max = cache_env ? atoll(cache_env) : (i64)256 << 20;
-    if (L <= cache_max && !c->ov_pack) {
+    if (L <= cache_max && !c->ov_pack && !c->capture_runs) {
         c->ov_words = (L + 63) >> 6;
         c->ov_pack = (uint64_t **)calloc((size_t)nm, sizeof(uint64_t *));
         for (i32 d = 0; d < nm; d++) {
@@ -3052,6 +3083,51 @@ void ribbit_core_set_events(RibbitCore *c,
     }
     build_eval_segments(c);
     c->events_ready = 1;
+}
+
+/* Run-capture API: generate events in capture mode (raw qualified runs +
+ * perfect runs materialized per channel, scanner state machines bypassed)
+ * and export them flattened channel-major.  Used by the exact chunked /
+ * distributed paths: per-chunk capture -> clip/merge stitch -> ONE global
+ * replay, removing the per-chunk replay's exposure to the reference's
+ * positional-index vote quirk (parse_anchored_shiftxor.cpp:441-526). */
+void ribbit_core_capture_runs(RibbitCore *c) {
+    c->capture_runs = 1;
+    generate_events(c);
+}
+
+static IV32 *runs_stream(RibbitCore *c, i32 stream, int end) {
+    switch (stream) {
+    case 0: return end ? c->perf_e : c->perf_s;
+    case 1: return end ? c->q7_e : c->q7_s;
+    default: return end ? c->q6_e : c->q6_s;
+    }
+}
+
+i64 ribbit_core_runs_total(RibbitCore *c, i32 stream) {
+    IV32 *v = runs_stream(c, stream, 0);
+    if (!v) return 0;
+    i64 tot = 0;
+    for (i32 d = 0; d < c->nmotifs; d++) tot += v[d].n;
+    return tot;
+}
+
+void ribbit_core_runs_export(RibbitCore *c, i32 stream,
+                             i64 *starts, i64 *ends, i64 *offsets) {
+    IV32 *vs = runs_stream(c, stream, 0);
+    IV32 *ve = runs_stream(c, stream, 1);
+    i64 k = 0;
+    offsets[0] = 0;
+    for (i32 d = 0; d < c->nmotifs; d++) {
+        if (vs) {
+            for (i64 i = 0; i < vs[d].n; i++) {
+                starts[k] = vs[d].d[i];
+                ends[k] = ve[d].d[i];
+                k++;
+            }
+        }
+        offsets[d + 1] = k;
+    }
 }
 
 /* failedSeeds (fasta_utils.cpp:44-56): RANK_N entries in a list */

@@ -86,6 +86,81 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
             "tpu_scan_compile_s": round(compile_s, 1)}
 
 
+def bench_events(cfg=None, L: int = 4 << 20, reps: int = 4) -> dict:
+    """PRODUCTION event-extraction kernel throughput (the kernel the
+    pipeline's --backend tpu path actually calls): scan_events_pallas
+    flagword generation for every motif channel, Mbp/s per chip.  Same
+    fused-sweep + scalar-fetch methodology as bench_scan."""
+    import numpy as np
+    from . import scan_events_pallas as ev
+    from .scan_pallas_v2 import _nsp_of
+    if cfg is None:
+        from .config import RibbitConfig
+        cfg = RibbitConfig.create()
+
+    Lp = ((L + ev.TILE - 1) // ev.TILE) * ev.TILE
+    total = ev.LPAD + Lp + ev.RPAD
+    sent = jnp.asarray((np.arange(-ev.LPAD, 0) % 120) + 5, jnp.int32)
+    code = jax.random.randint(jax.random.PRNGKey(0), (1, total), 0, 4,
+                              dtype=jnp.int32).at[0, :ev.LPAD].set(sent)
+    nmask = jnp.zeros((1, total), jnp.int32).at[0, ev.LPAD + L:].set(1)
+    code, nmask = jax.block_until_ready((code, nmask))
+    nsp = _nsp_of(cfg)
+
+    K = 8
+
+    @jax.jit
+    def sweep(code):
+        acc = jnp.int32(0)
+        for k in range(K):
+            w = ev._scan_all(code ^ (k & 3), nmask, jnp.int32(L), nsp=nsp,
+                             min_shift=cfg.min_shift,
+                             max_shift=cfg.max_shift, interpret=False)
+            acc = acc + w[0, :128].sum()
+        return acc
+
+    float(sweep(code))                        # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(sweep(code))
+        best = min(best, time.perf_counter() - t0)
+    return {"tpu_event_mbps": round(K * L / 1e6 / best, 2)}
+
+
+def bench_event_decode(cfg=None, L: int = 1 << 22) -> dict:
+    """Host-side flagword decode throughput (the C ctz decoder), Mbp/s on
+    this host.  Runs on synthetic flagwords at chromosome-fixture event
+    density (~2.1 q6 + 0.05 q7 + 0.001 perfect events/bp); part of the
+    PCIe e2e model in BASELINE.md, not a device number."""
+    import numpy as np
+    from .scan_pallas_v2 import _nsp_of
+    from . import scan_events_pallas as ev
+    if cfg is None:
+        from .config import RibbitConfig
+        cfg = RibbitConfig.create()
+    nsp = _nsp_of(cfg)
+    ngroups = (nsp + 3) // 4
+    rng = np.random.default_rng(0)
+    w = np.zeros((ngroups, L), dtype=np.uint32)
+    # paired start/end flags per channel row at realistic densities
+    for dens, b_s, b_e in ((0.0052, 0, 4), (0.00013, 8, 12)):
+        # per-row start density = stream density / nmotifs
+        n = int(dens * L)
+        for g in range(ngroups):
+            for b in range(4):
+                pos = np.sort(rng.choice(L, size=2 * n, replace=False))
+                s, e = pos[0::2], pos[1::2]
+                w[g, s] |= np.uint32(1 << (b_s + b))
+                w[g, e] |= np.uint32(1 << (b_e + b))
+    w = w.view(np.int32)
+    ev._decode_c(w, cfg)                   # warm: lib load + thread pool
+    t0 = time.perf_counter()
+    ev._decode_c(w, cfg)
+    dt = time.perf_counter() - t0
+    return {"host_decode_mbps": round(L / 1e6 / dt, 1)}
+
+
 def bench_align(B: int = 1024, R: int = 256, C: int = 384,
                 reps: int = 4) -> dict:
     """Batched SSW forward scoring throughput at refinement-typical shapes.
@@ -136,7 +211,12 @@ def run_device_bench() -> dict:
         return {}
     out = {}
     out.update(bench_scan())
+    out.update(bench_events())
     out.update(bench_align())
+    try:
+        out.update(bench_event_decode())
+    except Exception:
+        pass
     return out
 
 

@@ -39,7 +39,8 @@ def _get_core_lib_locked():
         _tried = True
         return None
     so = _compile([_CSRC / "ribbit_core.c", _CSRC / "ribbit_refine.c",
-                   _CSRC / "ribbit_align.c", _CSRC / "ribbit_vote.c"])
+                   _CSRC / "ribbit_align.c", _CSRC / "ribbit_vote.c",
+                   _CSRC / "ribbit_events.c"])
     if so is None:
         _tried = True
         return None
@@ -74,6 +75,13 @@ def _get_core_lib_locked():
         P64, ctypes.c_int64, ctypes.c_int32, P64]
     lib.ribbit_core_set_threads.restype = None
     lib.ribbit_core_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ribbit_core_capture_runs.restype = None
+    lib.ribbit_core_capture_runs.argtypes = [ctypes.c_void_p]
+    lib.ribbit_core_runs_total.restype = ctypes.c_int64
+    lib.ribbit_core_runs_total.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ribbit_core_runs_export.restype = None
+    lib.ribbit_core_runs_export.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                            P64, P64, P64]
     lib.ribbit_scan_refine.restype = ctypes.POINTER(ctypes.c_char)
     lib.ribbit_scan_refine.argtypes = [
         ctypes.c_void_p, P8, PU8, P8, ctypes.c_int64,
@@ -131,6 +139,27 @@ class CoreSession:
                 ptrs.append(ptr)
         self._events_keepalive = keep
         self.lib.ribbit_core_set_events(self.handle, *ptrs)
+
+    def capture_runs(self):
+        """Generate events in capture mode: the threaded C generation pass
+        records raw qualified runs + perfect runs per channel instead of
+        feeding the scanner state machines.  Returns (perfect, q7, q6)
+        streams in the set_events contract ((starts, ends,
+        offsets[nmotifs+1]) each, channel-major).  The session is spent
+        after this call (use a fresh one for scan/refine)."""
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        self.lib.ribbit_core_capture_runs(self.handle)
+        out = []
+        for stream in range(3):
+            n = self.lib.ribbit_core_runs_total(self.handle, stream)
+            s = np.empty(n, dtype=np.int64)
+            e = np.empty(n, dtype=np.int64)
+            off = np.empty(self.cfg.nmotifs + 1, dtype=np.int64)
+            self.lib.ribbit_core_runs_export(
+                self.handle, stream, s.ctypes.data_as(P64),
+                e.ctypes.data_as(P64), off.ctypes.data_as(P64))
+            out.append((s, e, off))
+        return tuple(out)
 
     def scan(self) -> np.ndarray:
         """Runs scan+lattices+merge; returns int64[N, 4] seed array

@@ -115,6 +115,21 @@ def segment_bounds(L: int, seg_size: int) -> List[int]:
     return list(range(0, L, step)) + [L]
 
 
+def capture_runs_host(code: np.ndarray, n_mask: np.ndarray,
+                      cfg: RibbitConfig, nthreads: int = 0) -> Tuple[
+                          Stream, Stream, Stream]:
+    """Host event extractor: the native core's threaded generation pass in
+    run-capture mode (csrc/ribbit_core.c ribbit_core_capture_runs).  Same
+    contract and bit-identical streams as the device extractors; used as
+    the per-chunk extractor for the exact host chunked path."""
+    from .core import CoreSession
+    sess = CoreSession(code, n_mask, cfg, nthreads=nthreads)
+    try:
+        return sess.capture_runs()
+    finally:
+        sess.close()
+
+
 def scan_events_segmented(code: np.ndarray, n_mask: np.ndarray,
                           cfg: RibbitConfig,
                           extractor: Callable = None,

@@ -87,9 +87,20 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
                 emit(line)
             return
         if scan_backend == "tpu":
-            from .scan_events_tpu import scan_events
+            from .eventstitch import scan_events_segmented
+            import jax
+            if jax.default_backend() in ("tpu", "axon"):
+                # production TPU path: Pallas flagword kernel (~0.5 Gbp/s
+                # per chip) + threaded C decode (scan_events_pallas)
+                from .scan_events_pallas import scan_events_device as _ex
+            else:
+                # CPU/XLA fallback (tests, no-chip hosts)
+                from .scan_events_tpu import scan_events as _ex
             try:
-                perf, q7, q6 = scan_events(code, n_mask, cfg)
+                # long contigs stream through the device in segments with
+                # exact event stitching (bounds device memory at any L)
+                perf, q7, q6 = scan_events_segmented(code, n_mask, cfg,
+                                                     extractor=_ex)
                 sess.set_events(perf, q7, q6)
             except OverflowError:
                 # capacity autotune failed to converge (should not happen);

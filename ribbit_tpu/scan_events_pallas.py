@@ -1,0 +1,362 @@
+"""Production device event extraction: the v4 scan kernel fused with
+sparse event-flag computation and row-packed output.
+
+scan_events_tpu's plain-XLA `_event_kernel` compacts events with
+jnp.nonzero, which lowers catastrophically on TPU (measured 1.3 s for ONE
+[104, 1M] plane -> the whole kernel runs ~0.2 Mbp/s on a v5e chip, 5000x
+below the Pallas scan).  TPU has no cheap lane-axis compaction primitive
+(dynamic lane indexing into VMEM is forbidden; scatter/sort/nonzero are all
+element-serial), so this module changes the representation instead:
+
+  - the kernel (same body as scan_pallas_v4: manual-DMA row-split sweep,
+    fasta_utils.cpp:120-161, parse_anchored_shiftxor.cpp:20-56,
+    parse_substitute_shiftxor.cpp:391-577, parse_perfect_shiftxor.cpp:146-226)
+    computes six per-position event FLAGS instead of dense masks:
+      q6 run starts/ends   (threshold-6 overlay windows; the anchored scan)
+      q7 run starts/ends   (threshold-7 raw windows; the substitution scan)
+      perfect run starts/ends, filtered by the per-channel generation
+      cutoff (12-m if m<=6 else m) via saturating run-length doubling
+  - each call covers 4 shift rows (OUT_ROWS=4, the v4 sweep optimum) and
+    packs the six flags of its 4 rows into ONE int32 "flagword" per
+    position (a weighted sublane reduction -- no sublane slicing):
+      bits 0-3 q6start, 4-7 q6end, 8-11 q7start, 12-15 q7end,
+      16-19 perfect-start, 20-23 perfect-end
+    Output volume is 4 B/bp/call * 26 calls = 104 B/bp, 4x below v4's
+    dense planes, and flags are ~2% dense so the host decode skips most
+    words.
+  - the host converts flagwords into the exact event streams
+    (scan_events_tpu contract) with a threaded C ctz-loop decoder
+    (csrc/ribbit_events.c), ~4.3 flags/bp at ~8 ops/flag.
+
+Flag semantics are derived from the same EXT-window values as the proven
+v4 masks (tests/test_pallas.py lineage), shifted by +-1 lane for the
+start/end tests; equality of the decoded streams with scan_events_tpu is
+tested in interpret mode (tests/test_events_pallas.py) and the BED parity
+chain runs through the native core replay.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import RibbitConfig, ANCHOR_SIZE
+from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
+                             _trail_ones, _lead_ones, _nsp_of)
+
+TILE = 20480
+RPAD = 768           # right context: max_shift + EXT overhang
+EXT = LPAD + TILE + CAP + 128
+CHUNK = LPAD + TILE + RPAD
+OUT_ROWS = 4         # one packed 4-row group per call
+HALO_R = 2           # overlay needs anchors of rows r-2..r+2
+
+
+def _trail_ones7(t, nrows, width):
+    """min(128, consecutive 1s ending at p): 7 doubling steps suffice when
+    the count is only compared against thresholds <= 128 (perfect cutoffs
+    max at 100)."""
+    for j in range(7):
+        step = 1 << j
+        t = t + jnp.where(t == step, pltpu.roll(t, step, 1), 0)
+    return t
+
+
+def _weights(rb: int, out_lo: int, bit0: int) -> jnp.ndarray:
+    """[rb, 1] int32 column: 1 << (bit0 + r - out_lo) for output rows,
+    0 for halo rows.  Built from an iota inside the kernel trace (pallas
+    kernels cannot capture materialized constants)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    sh = jnp.clip(r - out_lo + bit0, 0, 31)
+    inside = (r >= out_lo) & (r < out_lo + OUT_ROWS)
+    return jnp.where(inside, jnp.left_shift(jnp.int32(1), sh), 0)
+
+
+def _kernel(L_ref, code_hbm, nmask_hbm, w_ref, eq_scr, cbuf, nbuf,
+            sems, *, rb, row0, out_lo, min_shift, max_shift):
+    """One 4-row output group (global shift rows [row0+out_lo,
+    row0+out_lo+4)) of the flagword plane for one TILE of positions."""
+    L = L_ref[0, 0]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    NS = max_shift - min_shift + 1
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def tile_dma(s, tidx):
+        base = tidx * TILE
+        return (pltpu.make_async_copy(code_hbm.at[:, pl.ds(base, CHUNK)],
+                                      cbuf.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(nmask_hbm.at[:, pl.ds(base, CHUNK)],
+                                      nbuf.at[s], sems.at[s, 1]))
+
+    @pl.when(i == 0)
+    def _():
+        d0, d1 = tile_dma(0, 0)
+        d0.start()
+        d1.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        d0, d1 = tile_dma(nxt, i + 1)
+        d0.start()
+        d1.start()
+
+    w0, w1 = tile_dma(slot, i)
+    w0.wait()
+    w1.wait()
+
+    base = i * TILE
+    buf = cbuf[slot]
+    nmv = nbuf[slot]
+
+    here = buf[:, :EXT]
+    for r in range(rb):
+        g = row0 + r
+        if g < NS:
+            s = min_shift + g
+            eq_scr[r:r + 1, :] = (here == buf[:, s:s + EXT]).astype(jnp.int32)
+        else:
+            eq_scr[r:r + 1, :] = jnp.zeros((1, EXT), jnp.int32)
+
+    pos = _lane_iota(rb, EXT) + base - LPAD           # sequence position
+    rr = _row_iota(rb, EXT) + row0                    # global row index
+    row_s = rr + min_shift                            # row's shift value
+    valid_row = rr < NS
+
+    eq = eq_scr[:, :] * ((pos < L) & valid_row)
+
+    # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
+    hi = L - row_s
+    b = eq * (pos < hi)
+    trail = _trail_ones(b, rb, EXT)
+    lead = _lead_ones(b, rb, EXT)
+    rlen = trail + lead - 1
+    run_end = pos + lead
+    anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
+
+    # overlay: channel row r ORs anchors of global rows r-2..r+2 except r.
+    # Wrapped-in rows land in halo rows whose packing weight is zero.
+    ov = eq
+    for d in (-2, -1, 1, 2):
+        rolled = pltpu.roll(anch, (rb - d) % rb, 0)
+        ok = (rr + d >= 0) & (rr + d < NS)
+        ov = ov | (rolled * ok)
+
+    # N-free windows over the full EXT width (flags need lanes LPAD-1 and
+    # LPAD+TILE, one beyond the output slice on each side)
+    nfree = _win8(nmv[:, :EXT], 1, EXT) == 0
+
+    q7f = ((_win8(eq, rb, EXT) >= 7) & nfree).astype(jnp.int32)
+    q6f = ((_win8(ov, rb, EXT) >= 6) & nfree).astype(jnp.int32)
+
+    pm = eq * (nmv[:, :EXT] == 0)
+    lead_pm = _lead_ones(pm, rb, EXT, steps=7)        # saturates at 128
+    trail_pm = _trail_ones7(pm, rb, EXT)              # saturates at 128
+    m_row = _row_iota(rb, TILE) + row0 + min_shift
+    cutoff = jnp.where(m_row <= 6, 12 - m_row, m_row)  # gen cutoff <= 100
+
+    sl = slice(LPAD, LPAD + TILE)
+    slm = slice(LPAD - 1, LPAD + TILE - 1)
+    slp = slice(LPAD + 1, LPAD + TILE + 1)
+
+    q6s = q6f[:, sl] * (1 - q6f[:, slm])
+    q6e = q6f[:, sl] * (1 - q6f[:, slp])
+    q7s = q7f[:, sl] * (1 - q7f[:, slm])
+    q7e = q7f[:, sl] * (1 - q7f[:, slp])
+    ps = pm[:, sl] * (1 - pm[:, slm]) * (lead_pm[:, sl] >= cutoff)
+    pe = pm[:, sl] * (1 - pm[:, slp]) * (trail_pm[:, sl] >= cutoff)
+
+    # combine the six fields per (row, lane) with constant shifts, then one
+    # weighted sublane reduction (weight = 1 << (r - out_lo) on output rows)
+    combined = (q6s + (q6e << 4) + (q7s << 8) + (q7e << 12)
+                + (ps << 16) + (pe << 20))
+    w_ref[:, :] = (combined * _weights(rb, out_lo, 0)).sum(
+        axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
+                                             "min_shift", "max_shift",
+                                             "interpret"))
+def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
+               max_shift, interpret):
+    Lp = code2d.shape[1] - LPAD - RPAD
+    grid = (Lp // TILE,)
+    out_shape = jax.ShapeDtypeStruct((1, Lp), jnp.int32)
+    out_specs = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
+                               min_shift=min_shift, max_shift=max_shift)
+    L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        interpret=interpret,
+    )(L_arr, code2d, nmask2d)
+
+
+def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
+    """ceil(nsp/4) calls of one packed 4-row group each -> one
+    [ngroups, Lp] int32 flagword plane."""
+    ws = []
+    ngroups = (nsp + OUT_ROWS - 1) // OUT_ROWS
+    for h in range(ngroups):
+        glo = h * OUT_ROWS
+        row0 = max(0, glo - HALO_R)
+        out_lo = glo - row0
+        rb = out_lo + OUT_ROWS + HALO_R
+        rb = (rb + 7) & ~7
+        w = _scan_rows(code2d, nmask2d, L, rb=rb, row0=row0,
+                       out_lo=out_lo, min_shift=min_shift,
+                       max_shift=max_shift, interpret=interpret)
+        ws.append(w)
+    return jnp.concatenate(ws, axis=0)
+
+
+def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
+    L = code.shape[0]
+    Lp = ((L + TILE - 1) // TILE) * TILE
+    code_p = np.zeros(LPAD + Lp + RPAD, dtype=np.int32)
+    code_p[LPAD:LPAD + L] = code
+    code_p[:LPAD] = (np.arange(-LPAD, 0) % 120) + 5
+    nm_p = np.ones(LPAD + Lp + RPAD, dtype=np.int32)
+    nm_p[LPAD:LPAD + L] = n_mask.astype(np.int32)
+    return code_p.reshape(1, -1), nm_p.reshape(1, -1)
+
+
+def flagwords_pallas(code: np.ndarray, n_mask: np.ndarray,
+                     cfg: RibbitConfig, interpret: bool = False):
+    """Device flagword planes for one sequence.
+
+    Returns int32 [ngroups, L] where group h covers shift rows [4h, 4h+4)
+    (shift = min_shift + row) and the bit layout is the module
+    docstring's."""
+    L = code.shape[0]
+    code_p, nm_p = _pad_inputs(code, n_mask)
+    nsp = _nsp_of(cfg)
+    w = _scan_all(jnp.asarray(code_p), jnp.asarray(nm_p), jnp.int32(L),
+                  nsp=nsp, min_shift=cfg.min_shift,
+                  max_shift=cfg.max_shift, interpret=interpret)
+    return np.asarray(w)[:, :L]
+
+
+# ---------------------------------------------------------------------------
+# Flagword decoding (host): numpy reference + threaded C production decoder
+# ---------------------------------------------------------------------------
+
+def _decode_numpy(w: np.ndarray, cfg: RibbitConfig):
+    """Reference decoder: flagword plane -> the three event streams in the
+    scan_events_tpu contract ((starts, ends, offsets) per stream,
+    channel-major).  Vectorized numpy; the production path uses the C
+    decoder in csrc/ribbit_events.c (same contract, differential-tested)."""
+    uw = w.view(np.uint32)
+    nm = cfg.nmotifs
+    r0 = cfg.min_motif - cfg.min_shift
+    streams = []
+    for b_s, b_e in ((0, 4), (8, 12), (16, 20)):
+        starts: list = []
+        ends: list = []
+        offs = [0]
+        for didx in range(nm):
+            row = r0 + didx
+            g, bit = divmod(row, 4)
+            s_pos = np.flatnonzero((uw[g] >> np.uint32(b_s + bit)) & 1)
+            e_pos = np.flatnonzero((uw[g] >> np.uint32(b_e + bit)) & 1)
+            assert s_pos.shape == e_pos.shape
+            starts.append(s_pos.astype(np.int64))
+            ends.append(e_pos.astype(np.int64) + 1)
+            offs.append(offs[-1] + s_pos.shape[0])
+        streams.append((np.concatenate(starts) if starts else
+                        np.zeros(0, np.int64),
+                        np.concatenate(ends) if ends else
+                        np.zeros(0, np.int64),
+                        np.asarray(offs, dtype=np.int64)))
+    # stream order of the contract: (perfect, q7, q6); planes gave q6,q7,p
+    return streams[2], streams[1], streams[0]
+
+
+def _decode_c(w: np.ndarray, cfg: RibbitConfig):
+    """Threaded C decoder (single-pass ctz word loops into per-channel
+    bucket regions, one thread per row group)."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+    from .native import get_events_lib
+
+    lib = get_events_lib()
+    if lib is None:
+        return _decode_numpy(w, cfg)
+
+    nm = cfg.nmotifs
+    r0 = cfg.min_motif - cfg.min_shift
+    ngroups, L = w.shape
+    w = np.ascontiguousarray(w)
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+
+    def one_group(g):
+        # channels this group contributes (global rows 4g..4g+4)
+        lo_row = max(4 * g, r0)
+        hi_row = min(4 * g + 4, r0 + nm)
+        if lo_row >= hi_row:
+            return None
+        cap = max(1 << 12, L // 16)          # per-channel bucket capacity
+        while True:
+            bufs = [np.empty(4 * cap, dtype=np.int32) for _ in range(6)]
+            cnt = np.zeros(12, dtype=np.int64)
+            rc = lib.ribbit_decode_flagwords(
+                w[g].ctypes.data_as(P32), L, lo_row - 4 * g, hi_row - 4 * g,
+                cap, *(b.ctypes.data_as(P32) for b in bufs),
+                cnt.ctypes.data_as(P64))
+            if rc == 0:
+                return bufs, cnt, cap, lo_row - 4 * g, hi_row - 4 * g
+            if rc < 0:
+                raise RuntimeError("flagword decode: unpaired run flags")
+            cap = int(rc + (rc >> 2))  # grow past the reported need
+
+    with ThreadPoolExecutor(max_workers=min(8, ngroups)) as ex:
+        results = list(ex.map(one_group, range(ngroups)))
+
+    streams = []
+    for k in range(3):     # 0 = q6, 1 = q7, 2 = perfect (decoder order)
+        ss, es, per_ch = [], [], []
+        for res in results:
+            if res is None:
+                continue
+            bufs, cnt, cap, b_lo, b_hi = res
+            for b in range(b_lo, b_hi):
+                n = int(cnt[4 * k + b])
+                ss.append(bufs[2 * k][b * cap:b * cap + n])
+                es.append(bufs[2 * k + 1][b * cap:b * cap + n])
+                per_ch.append(n)
+        s_arr = (np.concatenate(ss).astype(np.int64) if ss else
+                 np.zeros(0, np.int64))
+        e_arr = (np.concatenate(es).astype(np.int64) if es else
+                 np.zeros(0, np.int64))
+        offsets = np.zeros(nm + 1, dtype=np.int64)
+        np.cumsum(per_ch, out=offsets[1:1 + len(per_ch)])
+        if len(per_ch) < nm:
+            offsets[1 + len(per_ch):] = offsets[len(per_ch)]
+        streams.append((s_arr, e_arr, offsets))
+    return streams[2], streams[1], streams[0]
+
+
+def scan_events_device(code: np.ndarray, n_mask: np.ndarray,
+                       cfg: RibbitConfig, interpret: bool = False):
+    """Production device event extraction: Pallas flagword kernel + C
+    decode.  Same contract as scan_events_tpu.scan_events."""
+    w = flagwords_pallas(code, n_mask, cfg, interpret=interpret)
+    return _decode_c(w, cfg)

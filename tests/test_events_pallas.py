@@ -1,0 +1,78 @@
+"""The production device event path (Pallas flagword kernel + C decoder)
+must produce streams bit-identical to the proven XLA extractor
+(scan_events_tpu), through to BED parity via the native core replay.
+
+Interpret runs patch TILE down (interpret cost scales with EXT); the
+kernel algebra is TILE-independent and the shipped geometry is validated
+on-chip (EVIDENCE.md)."""
+
+import numpy as np
+import pytest
+
+from ribbit_tpu.config import RibbitConfig
+from ribbit_tpu.encode import encode
+from ribbit_tpu.sim import simulate
+
+
+@pytest.fixture()
+def small_tile(monkeypatch):
+    import ribbit_tpu.scan_events_pallas as m
+    monkeypatch.setattr(m, "TILE", 4096)
+    monkeypatch.setattr(m, "EXT", m.LPAD + 4096 + m.CAP + 128)
+    monkeypatch.setattr(m, "CHUNK", m.LPAD + 4096 + m.RPAD)
+    yield m
+    import jax
+    jax.clear_caches()   # drop traces captured at the patched geometry
+
+
+def _assert_streams_equal(a, b):
+    for ga, gb in zip(a, b):
+        for xa, xb in zip(ga, gb):
+            assert np.array_equal(np.asarray(xa, np.int64),
+                                  np.asarray(xb, np.int64))
+
+
+def test_flagword_events_match_xla(cpu_jax, small_tile):
+    from ribbit_tpu.scan_events_tpu import scan_events
+    from ribbit_tpu.scan_events_pallas import scan_events_device
+
+    for cfg, seed, nb in ((RibbitConfig.create(), 7, 0.3),
+                          (RibbitConfig.create(min_motif=4, max_motif=37),
+                           8, 0.5)):
+        sim = simulate(num_loci=2, seed=seed, name="ev", n_block_rate=nb)
+        code, n_mask = encode(sim.sequence)
+        want = scan_events(code, n_mask, cfg)
+        got = scan_events_device(code, n_mask, cfg, interpret=True)
+        _assert_streams_equal(want, got)
+
+
+def test_numpy_and_c_decoders_agree(cpu_jax, small_tile):
+    from ribbit_tpu.scan_events_pallas import (flagwords_pallas, _decode_c,
+                                               _decode_numpy)
+
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=3, seed=19, name="dec", n_block_rate=0.2)
+    code, n_mask = encode(sim.sequence)
+    w = flagwords_pallas(code, n_mask, cfg, interpret=True)
+    _assert_streams_equal(_decode_numpy(w, cfg), _decode_c(w, cfg))
+
+
+def test_flagword_bed_parity(cpu_jax, small_tile, golden_dir):
+    from ribbit_tpu.fasta import read_fasta
+    from ribbit_tpu.core import CoreSession
+    from ribbit_tpu.scan_events_pallas import scan_events_device
+
+    cfg = RibbitConfig.create()
+    lines = []
+    for sid, seq in read_fasta(str(golden_dir / "g3.fa")):
+        code, n_mask = encode(seq)
+        sess = CoreSession(code, n_mask, cfg)
+        try:
+            sess.set_events(*scan_events_device(code, n_mask, cfg,
+                                                interpret=True))
+            seeds = sess.scan()
+            lines += sess.refine(seeds, seq, sid)
+        finally:
+            sess.close()
+    expected = (golden_dir / "g3.oracle.bed").read_text().splitlines()
+    assert lines == expected

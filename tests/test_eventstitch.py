@@ -71,3 +71,42 @@ def test_segmented_bed_parity(cpu_jax, dense_genome):
     finally:
         sess.close()
     assert lines == expected
+
+
+def test_host_capture_matches_device_extractor(cpu_jax, dense_genome):
+    """The native run-capture generation must produce streams bit-identical
+    to the device extractor (both are the raw qualified/perfect runs)."""
+    from ribbit_tpu.scan_events_tpu import scan_events
+    from ribbit_tpu.eventstitch import capture_runs_host
+
+    cfg = RibbitConfig.create()
+    code, n_mask = encode(dense_genome)
+    want = scan_events(code, n_mask, cfg)
+    got = capture_runs_host(code, n_mask, cfg)
+    for w, s in zip(want, got):
+        for wa, sa in zip(w, s):
+            assert np.array_equal(np.asarray(wa, np.int64),
+                                  np.asarray(sa, np.int64))
+
+
+def test_host_capture_segmented_stitch(cpu_jax):
+    """Segmented host capture + stitch == whole-contig capture, on a
+    genome with N runs and repeat arrays crossing the cuts."""
+    from ribbit_tpu.eventstitch import (capture_runs_host,
+                                        scan_events_segmented)
+
+    parts = []
+    for ci in range(3):
+        parts.append(simulate(num_loci=8, seed=60 + ci, name=f"hc{ci}",
+                              n_block_rate=0.2).sequence)
+    seq = "".join(parts)
+    cfg = RibbitConfig.create()
+    code, n_mask = encode(seq)
+    whole = capture_runs_host(code, n_mask, cfg)
+    seg = scan_events_segmented(code, n_mask, cfg,
+                                extractor=capture_runs_host,
+                                seg_size=37_000)
+    for w, s in zip(whole, seg):
+        for wa, sa in zip(w, s):
+            assert np.array_equal(np.asarray(wa, np.int64),
+                                  np.asarray(sa, np.int64))
