@@ -74,12 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=0,
                    help="multi-host mode: this process's id (0-based)")
     p.add_argument("--chunk-size", type=int, default=None, metavar="BP",
-                   help="split contigs longer than 1.5x this many bp at "
-                        "big-N-run midpoints and process chunks in "
-                        "parallel. Exact except for the reference's "
-                        "positional-index quirk in the anchored coverage "
-                        "votes (~0.03%% of lines on repeat-dense genomes); "
-                        "omit for bit-exact whole-contig processing")
+                   help="process contigs longer than 1.5x this many bp in "
+                        "bounded-memory chunks (per-chunk event extraction "
+                        "stitched into one exact global replay); output is "
+                        "byte-identical to whole-contig processing")
     return p
 
 

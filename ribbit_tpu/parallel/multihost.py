@@ -2,20 +2,20 @@
 
 The reference holds a whole chromosome resident in one process
 (fasta_utils.cpp:59-250); this module is the multi-host redesign: every
-process calls `jax.distributed.initialize`, the contig's N-run-midpoint
-chunks shard over a GLOBAL 1-D mesh spanning all processes' devices, each
-process's chips run the compact event-extraction kernel for the chunk rows
-they own (the O(nshifts * L) scan never leaves the devices), each host
-replays the exact scanner/lattice/refinement core for its own chunks, and
-the per-chunk output lines are exchanged with a cross-process allgather
-(rides ICI within a slice, DCN across hosts) so every process holds the
-full contig result in coordinate order.
+process calls `jax.distributed.initialize`, the contig's halo-extended
+chunk windows shard over a GLOBAL 1-D mesh spanning all processes'
+devices, each process's chips run the compact event-extraction kernel for
+the chunk rows they own (the O(nshifts * L) scan never leaves the
+devices), the clipped per-chunk event fragments are exchanged with a
+cross-process allgather (rides ICI within a slice, DCN across hosts),
+every process stitches the SAME exact whole-contig streams and replays
+the order-dependent scanner/lattice core once (O(events), cheap,
+redundant by design), and refinement fans out across processes by seed
+slice with a final allgather of the output lines.
 
-Byte-semantics match `distributed_process_contig` / strict chunked mode:
-exact up to the reference's positional-index vote quirk
-(parse_anchored_shiftxor.cpp:511-522; see NOTES_ROUND1.md).
-
-Launch (one command per host / process):
+Output is BYTE-IDENTICAL to the single-process whole-contig run (the old
+per-chunk replay's positional-vote-quirk exposure is gone; see
+eventstitch.py).  Launch (one command per host / process):
 
     ribbit-tpu -i g.fa -o out.bed --coordinator host0:8476 \
                --num-processes 2 --process-id {0,1}
@@ -49,37 +49,38 @@ def ensure_initialized(coordinator: str, num_processes: int,
     ensure_initialized._done = True
 
 
-def _gather_lines_by_chunk(local: dict, total: int) -> List[List[str]]:
-    """Allgather per-chunk output lines across processes.
+def _gather_blobs(local: dict, total: int) -> List[bytes]:
+    """Allgather per-slot byte blobs across processes.
 
-    `local` maps chunk index -> list of lines (only chunks this process
-    owns).  Contributions are disjoint across processes, so a stacked
-    allgather + sum reconstructs the global byte stream on every process.
-    """
+    `local` maps slot index -> bytes (only slots this process owns).
+    Contributions are disjoint across processes, so a stacked allgather +
+    sum reconstructs the global blobs on every process."""
     from jax.experimental import multihost_utils
 
-    blobs = {i: ("\n".join(ls) + "\n" if ls else "").encode()
-             for i, ls in local.items()}
-
     lens = np.zeros(total, dtype=np.int64)
-    for i, b in blobs.items():
+    for i, b in local.items():
         lens[i] = len(b)
     lens = np.asarray(multihost_utils.process_allgather(lens)).sum(axis=0)
 
     offs = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     payload = np.zeros(int(offs[-1]), dtype=np.uint8)
-    for i, b in blobs.items():
+    for i, b in local.items():
         payload[offs[i]:offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
     payload = np.asarray(
         multihost_utils.process_allgather(payload)).sum(axis=0,
                                                         dtype=np.uint8)
+    return [payload[offs[i]:offs[i + 1]].tobytes() for i in range(total)]
 
-    out: List[List[str]] = []
-    for i in range(total):
-        blob = payload[offs[i]:offs[i + 1]].tobytes().decode()
-        out.append(blob.split("\n")[:-1] if blob else [])
-    return out
+
+def _pack_clipped(ch: np.ndarray, s: np.ndarray, e: np.ndarray) -> bytes:
+    return np.concatenate([ch, s, e]).astype("<i8").tobytes()
+
+
+def _unpack_clipped(blob: bytes):
+    a = np.frombuffer(blob, dtype="<i8")
+    n = a.shape[0] // 3
+    return a[:n], a[n:2 * n], a[2 * n:]
 
 
 def multihost_process_contig(sequence_id: str, sequence: str,
@@ -94,67 +95,40 @@ def multihost_process_contig(sequence_id: str, sequence: str,
     Returns the full ordered line list on every process.
     """
     import os
-    from concurrent.futures import ThreadPoolExecutor
 
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..core import CoreSession
-    from ..pipeline import process_sequence
-    from ..scan_events_tpu import _event_kernel
-    from .distributed import _chunk_bounds
+    from ..eventstitch import clip_stream, merge_clipped, segment_bounds
+    from .distributed import (_stack_windows, _sharded_extract,
+                              distributed_process_contig)
     from .sharded_scan import make_mesh
 
     L = len(sequence)
     code, n_mask = encode(sequence)
-    bounds = _chunk_bounds(n_mask, L, chunk_size)
+    bounds = segment_bounds(L, chunk_size)
     nchunks = len(bounds) - 1
-    if nchunks <= 1 or jax.process_count() == 1:
-        # no collective schedule needed; every process computes (redundantly
-        # for tiny contigs — the scalable path is the chunked one)
-        from .distributed import distributed_process_contig
-        if jax.process_count() == 1:
+    nproc = jax.process_count()
+    if nchunks <= 1 or nproc == 1:
+        if nproc == 1:
             return distributed_process_contig(sequence_id, sequence, cfg,
                                               chunk_size=chunk_size,
                                               workers=workers)
+        # tiny contig: every process computes redundantly
+        from ..pipeline import process_sequence
         return process_sequence(sequence_id, sequence, cfg)
 
     t0 = time.perf_counter()
     mesh = make_mesh()                       # GLOBAL mesh: all processes
-    ndev = mesh.devices.size
     axis = mesh.axis_names[0]
+    windows, codes, nmasks, lens, Lp = _stack_windows(
+        code, n_mask, bounds, mesh.devices.size)
 
-    npad = (-nchunks) % ndev
-    total = nchunks + npad
-    Lp_max = max(b - a for a, b in zip(bounds[:-1], bounds[1:]))
-    bucket = 1 << 14
-    Lp = ((Lp_max + bucket - 1) // bucket) * bucket
-
-    codes = np.zeros((total, Lp), dtype=np.int8)
-    nmasks = np.ones((total, Lp), dtype=bool)
-    lens = np.zeros((total,), dtype=np.int32)
-    for i in range(nchunks):
-        a, b = bounds[i], bounds[i + 1]
-        codes[i, :b - a] = code[a:b]
-        nmasks[i, :b - a] = n_mask[a:b]
-        lens[i] = b - a
-
-    cap_p = max(Lp // 8, 1 << 14)
-    cap_q7 = max(Lp // 2, 1 << 14)
-    cap_q6 = max(3 * Lp, 1 << 15)
-
-    def one_chunk(c, n, ln):
-        return _event_kernel(c, n, ln,
-                             min_shift=cfg.min_shift, nshifts=cfg.nshifts,
-                             min_motif=cfg.min_motif, max_motif=cfg.max_motif,
-                             cap_p=cap_p, cap_q7=cap_q7, cap_q6=cap_q6)
-
+    # every process holds the full arrays; materialize only the shards
+    # addressable from this process
     row_sh = NamedSharding(mesh, P(axis, None))
     vec_sh = NamedSharding(mesh, P(axis))
-
-    # every process holds the full arrays; the callback materializes only
-    # the shards addressable from this process
     g_codes = jax.make_array_from_callback(
         codes.shape, row_sh, lambda idx: codes[idx])
     g_nmasks = jax.make_array_from_callback(
@@ -162,25 +136,16 @@ def multihost_process_contig(sequence_id: str, sequence: str,
     g_lens = jax.make_array_from_callback(
         lens.shape, vec_sh, lambda idx: lens[idx])
 
-    sharded = jax.jit(jax.shard_map(
-        jax.vmap(one_chunk), mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis)),
-        out_specs=(
-            (P(axis), P(axis), P(axis), P(axis)),
-            (P(axis), P(axis), P(axis), P(axis)),
-            (P(axis), P(axis), P(axis), P(axis)),
-        )))
-
-    perf_b, q7_b, q6_b = sharded(g_codes, g_nmasks, g_lens)
-    jax.block_until_ready((perf_b, q7_b, q6_b))
+    perf_b, q7_b, q6_b = _sharded_extract(mesh, cfg, g_codes, g_nmasks,
+                                          g_lens, Lp)
     t_scan = time.perf_counter() - t0
 
     # pull only the addressable (locally owned) chunk rows off the devices
     def local_rows(arr):
         rows = {}
-        for s in arr.addressable_shards:
-            r0 = s.index[0].start or 0
-            data = np.asarray(s.data)
+        for sh in arr.addressable_shards:
+            r0 = sh.index[0].start or 0
+            data = np.asarray(sh.data)
             for k in range(data.shape[0]):
                 rows[r0 + k] = data[k]
         return rows
@@ -195,61 +160,62 @@ def multihost_process_contig(sequence_id: str, sequence: str,
 
     nm = cfg.nmotifs
 
-    def events_for(i):
-        out = []
-        for ch_r, s_r, e_r, cnt_r in groups:
-            n = int(cnt_r[i])
-            cap = ch_r[i].shape[0]
-            if n > cap:
-                raise OverflowError("event capacity exceeded")
-            ch = ch_r[i][:n].astype(np.int64)
-            s = s_r[i][:n].astype(np.int64)
-            e = e_r[i][:n].astype(np.int64)
-            offsets = np.searchsorted(ch, np.arange(nm + 1)).astype(np.int64)
-            out.append((s, e, offsets))
-        return out
+    def stream_from_rows(ch, s, e, cnt):
+        n = int(cnt)
+        ch = np.asarray(ch[:n]).astype(np.int64)
+        offsets = np.searchsorted(ch, np.arange(nm + 1)).astype(np.int64)
+        return (np.asarray(s[:n]).astype(np.int64),
+                np.asarray(e[:n]).astype(np.int64), offsets)
 
+    # clip owned chunks to their cores and allgather the fragments; every
+    # process then stitches the SAME whole-contig streams (3 slots/chunk)
+    local_blobs: dict = {}
+    for i in owned:
+        wlo, _whi = windows[i]
+        for j, grp in enumerate(groups):
+            st = stream_from_rows(grp[0][i], grp[1][i], grp[2][i],
+                                  grp[3][i])
+            ch, s, e = clip_stream(st, bounds[i], bounds[i + 1], wlo)
+            local_blobs[3 * i + j] = _pack_clipped(ch, s, e)
+
+    blobs = _gather_blobs(local_blobs, 3 * nchunks)
+    parts = [[], [], []]
+    for i in range(nchunks):
+        for j in range(3):
+            parts[j].append(_unpack_clipped(blobs[3 * i + j]))
+    perf, q7, q6 = (merge_clipped(p, nm) for p in parts)
+    t_events = time.perf_counter() - t0 - t_scan
+
+    # exact global replay, redundant on every process (O(events), cheap)
     ncpu = os.cpu_count() or 1
-    if workers is None:
-        workers = min(ncpu, max(len(owned), 1))
+    sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
+    try:
+        sess.set_events(perf, q7, q6)
+        seeds = sess.scan()
 
-    def run_chunk(i):
-        a, b = bounds[i], bounds[i + 1]
-        sub_code = np.ascontiguousarray(code[a:b])
-        sub_n = np.ascontiguousarray(n_mask[a:b])
-        sess = CoreSession(sub_code, sub_n, cfg, nthreads=ncpu)
-        try:
-            perf, q7, q6 = events_for(i)
-            sess.set_events(perf, q7, q6)
-            seeds = sess.scan()
-            lines = sess.refine(seeds, sequence[a:b], sequence_id)
-        finally:
-            sess.close()
-        out = []
-        for line in lines:
-            cols = line.split("\t")
-            cols[1] = str(int(cols[1]) + a)
-            cols[2] = str(int(cols[2]) + a)
-            out.append("\t".join(cols))
-        return out
+        # refinement fans out by contiguous seed slice; per-seed output is
+        # independent (tests/test_units.py refine-slice invariance), so the
+        # gathered slices concatenate to the whole-run byte stream
+        pid, n = jax.process_index(), seeds.shape[0]
+        lo = pid * n // nproc
+        hi = (pid + 1) * n // nproc
+        lines = sess.refine(seeds[lo:hi], sequence, sequence_id)
+    finally:
+        sess.close()
+    t_replay = time.perf_counter() - t0 - t_scan - t_events
 
-    local: dict = {}
-    if owned:
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            for i, r in zip(owned, ex.map(run_chunk, owned)):
-                local[i] = r
-    t_replay = time.perf_counter() - t0 - t_scan
-
-    per_chunk = _gather_lines_by_chunk(local, nchunks)
-    t_gather = time.perf_counter() - t0 - t_scan - t_replay
+    blob = ("\n".join(lines) + "\n" if lines else "").encode()
+    out_blobs = _gather_blobs({pid: blob}, nproc)
+    t_gather = time.perf_counter() - t0 - t_scan - t_events - t_replay
     if timing:
         import sys
-        print(f"[p{jax.process_index()}] {sequence_id}: "
-              f"{len(owned)}/{nchunks} chunks  scan {t_scan:.2f}s  "
-              f"replay {t_replay:.2f}s  gather {t_gather:.2f}s",
+        print(f"[p{pid}] {sequence_id}: {len(owned)}/{nchunks} chunks  "
+              f"scan {t_scan:.2f}s  events {t_events:.2f}s  "
+              f"replay+refine {t_replay:.2f}s  gather {t_gather:.2f}s",
               file=sys.stderr)
 
-    lines: List[str] = []
-    for r in per_chunk:
-        lines.extend(r)
-    return lines
+    out: List[str] = []
+    for b in out_blobs:
+        if b:
+            out.extend(b.decode().split("\n")[:-1])
+    return out

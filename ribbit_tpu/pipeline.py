@@ -295,14 +295,59 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
                              halo: int = 1 << 16,
                              workers: Optional[int] = None,
                              strict: bool = False) -> List[str]:
-    """Chunked sequence-parallel processing of one long contig.
+    """Chunked processing of one long contig, BYTE-IDENTICAL to the
+    whole-contig run at ANY split points.
 
-    The contig splits into ~chunk_size pieces (at big-N-run midpoints when
-    possible, raw offsets otherwise) extended by `halo` on each side; chunks
-    run in parallel; a chunk owns the emitted lines whose repeat start falls
-    in its core interval.  Exact at N-run splits (see _choose_splits); a raw
-    split can differ from the whole-contig run within +-halo of the cut.
-    This chunk axis is also the distributed mesh axis (parallel/)."""
+    Chunks are halo-extended windows; each window runs the threaded native
+    generation in run-capture mode (eventstitch.capture_runs_host), the
+    per-chunk event streams are clipped/stitched into the exact whole-
+    contig streams, and the order-dependent scanner/lattice replay runs
+    ONCE globally (O(events), cheap) before threaded refinement.  This
+    removes the old per-chunk replay's exposure to the reference's
+    positional-index vote quirk (parse_anchored_shiftxor.cpp:441-526) and
+    the big-N-run split-point requirement; memory stays bounded (the
+    packed overlay cache is never built: capture mode skips it and the
+    injected-events session recomputes range queries on demand).
+
+    Contigs past the native core's i32 position range cannot hold a global
+    session and fall back to independent split processing
+    (_process_chunked_split; exact only at big-N-run splits)."""
+    from .core import MAX_CONTIG, CoreSession
+    from .eventstitch import capture_runs_host, scan_events_segmented
+
+    L = len(sequence)
+    if L <= chunk_size + chunk_size // 2:
+        return process_sequence(sequence_id, sequence, cfg)
+    if L >= MAX_CONTIG:
+        return _process_chunked_split(sequence_id, sequence, cfg,
+                                      chunk_size=chunk_size, halo=halo,
+                                      workers=workers, strict=strict)
+    import os
+    ncpu = os.cpu_count() or 1
+    code, n_mask = encode(sequence)
+    perf, q7, q6 = scan_events_segmented(
+        code, n_mask, cfg, extractor=capture_runs_host,
+        seg_size=chunk_size)
+    sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
+    try:
+        sess.set_events(perf, q7, q6)
+        seeds = sess.scan()
+        return sess.refine(seeds, sequence, sequence_id)
+    finally:
+        sess.close()
+
+
+def _process_chunked_split(sequence_id: str, sequence: str,
+                           cfg: RibbitConfig,
+                           chunk_size: int = 8 << 20,
+                           halo: int = 1 << 16,
+                           workers: Optional[int] = None,
+                           strict: bool = False) -> List[str]:
+    """Independent-chunk processing (the pre-stitch design): splits at
+    big-N-run midpoints when possible, raw offsets otherwise; each chunk
+    replays its own lattices.  Only used for contigs past the native
+    core's i32 range; exact at N-run splits, best-effort within +-halo of
+    raw cuts."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -392,22 +437,24 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
     if workers is None:
         workers = min(ncpu, len(todo)) or 1
 
-    serial = (engine != "core" or scan_backend == "tpu" or workers <= 1
-              or len(todo) <= 1)
+    if engine == "core" and scan_backend == "tpu" and len(todo) > 1:
+        # device-producer / host-consumer overlap: ONE thread drives the
+        # chip (extraction for contig k+1 proceeds while the host replays
+        # and refines contig k); the host side uses all cores per contig
+        yield from _fasta_records_tpu_overlap(records, todo, cfg, skip)
+        return
+
+    serial = (engine != "core" or workers <= 1 or len(todo) <= 1)
 
     def run_one(rec):
         _i, sid, seq = rec
         if engine == "core" and scan_backend == "host" and chunk_size \
                 and len(seq) > chunk_size + chunk_size // 2:
-            # long contigs chunk at big-N-run midpoints only (strict mode).
-            # Exact except for the reference's anchored positional-vote
-            # quirk (parse_anchored_shiftxor.cpp:441-526), which can read
-            # unrelated early list entries across a split (~0.03% of lines
-            # on adversarial input); omit --chunk-size for guaranteed
-            # bit-exact output (see _choose_splits)
+            # long contigs: bounded-memory chunked processing, byte-exact
+            # at any cut (per-chunk event capture + stitch + one global
+            # lattice replay)
             return process_sequence_chunked(sid, seq, cfg,
-                                            chunk_size=chunk_size,
-                                            strict=True)
+                                            chunk_size=chunk_size)
         # deliberately oversubscribe: contig sizes are highly imbalanced
         # and work-conserving scheduling beats static core partitioning
         return process_sequence(sid, seq, cfg, scan_backend=scan_backend,
@@ -427,6 +474,55 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
             for i, (sid, seq) in enumerate(records):
                 f = futs.get(i)
                 yield sid, len(seq), (f.result() if f is not None else None)
+
+
+def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig, skip):
+    """--backend tpu multi-contig pipeline: a single device thread streams
+    contigs through the event-extraction kernel (the chip is a serial
+    resource) while the calling thread replays/refines the previous
+    contig's events on all host cores.  Output order and bytes match the
+    serial path exactly (events are bit-identical; the replay is per
+    contig)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    import jax
+    from .core import CoreSession
+    from .eventstitch import scan_events_segmented
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from .scan_events_pallas import scan_events_device as _ex
+    else:
+        from .scan_events_tpu import scan_events as _ex
+    ncpu = os.cpu_count() or 1
+
+    def extract(rec):
+        _i, _sid, seq = rec
+        if not seq:
+            return None
+        code, n_mask = encode(seq)
+        return code, n_mask, scan_events_segmented(code, n_mask, cfg,
+                                                   extractor=_ex)
+
+    with ThreadPoolExecutor(max_workers=1) as dev:
+        futs = {t[0]: dev.submit(extract, t) for t in todo}
+        for i, (sid, seq) in enumerate(records):
+            f = futs.get(i)
+            if f is None:
+                yield sid, len(seq), None
+                continue
+            res = f.result()
+            if res is None:                  # empty record
+                yield sid, 0, []
+                continue
+            code, n_mask, events = res
+            sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
+            try:
+                sess.set_events(*events)
+                seeds = sess.scan()
+                lines = sess.refine(seeds, seq, sid)
+            finally:
+                sess.close()
+            yield sid, len(seq), lines
 
 
 def process_fasta(path: str, cfg: RibbitConfig,

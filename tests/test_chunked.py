@@ -31,26 +31,23 @@ def test_choose_splits_prefers_n_runs(gapped_genome):
         assert n_mask[s], "strict split must land inside an N-run"
 
 
-def test_chunked_strict_equals_whole(gapped_genome):
+def test_chunked_equals_whole(gapped_genome):
     cfg = RibbitConfig.create()
     whole = process_sequence("chr", gapped_genome, cfg)
     chunked = process_sequence_chunked("chr", gapped_genome, cfg,
-                                       chunk_size=40_000, halo=16_384,
-                                       strict=True)
+                                       chunk_size=40_000)
     assert chunked == whole
 
 
-def test_chunked_loose_matches_away_from_cuts():
+def test_chunked_exact_on_dense_contig():
+    """Chunk cuts through repeat arrays with NO N-run split points must
+    still be byte-exact (capture + stitch + global replay)."""
     sim = simulate(num_loci=24, seed=77, name="dense")  # no N gaps
     cfg = RibbitConfig.create()
     whole = process_sequence("chr", sim.sequence, cfg)
     chunked = process_sequence_chunked("chr", sim.sequence, cfg,
-                                       chunk_size=30_000, halo=16_384,
-                                       strict=False)
-    # loose cuts may perturb lines within +-halo of each cut; require the
-    # overwhelming majority to agree
-    inter = len(set(whole) & set(chunked))
-    assert inter >= 0.9 * max(len(whole), 1)
+                                       chunk_size=30_000)
+    assert chunked == whole
 
 
 def test_over_cap_contig_auto_chunks(gapped_genome, monkeypatch):
@@ -79,3 +76,22 @@ def test_over_cap_contig_without_n_runs_degrades_gracefully(monkeypatch):
     chunked = process_sequence("chr", sim.sequence, cfg)
     inter = len(set(whole) & set(chunked))
     assert inter >= 0.9 * max(len(whole), 1)
+
+
+def test_exact_path_fixes_split_divergence():
+    """Pinned fixture where independent per-chunk replay (the pre-stitch
+    design, now only used past the i32 cap) diverges from the whole-contig
+    run at raw cuts, while the exact capture+stitch+global-replay path is
+    byte-identical."""
+    from ribbit_tpu.pipeline import _process_chunked_split
+
+    sim = simulate(num_loci=24, seed=89, name="dense")  # no N gaps
+    cfg = RibbitConfig.create()
+    whole = process_sequence("chr", sim.sequence, cfg)
+    old = _process_chunked_split("chr", sim.sequence, cfg,
+                                 chunk_size=30_000, halo=16_384,
+                                 strict=False)
+    new = process_sequence_chunked("chr", sim.sequence, cfg,
+                                   chunk_size=30_000)
+    assert old != whole          # the motivating divergence
+    assert new == whole          # fixed by the global replay

@@ -119,3 +119,24 @@ def test_sharded_scan_matches_single_device(cpu_jax):
     assert np.array_equal(np.asarray(eq_sh), np.asarray(eq_ref))
     assert np.array_equal(np.asarray(counts_sh), np.asarray(counts_ref))
     assert int(total_sh[0]) == int(np.asarray(counts_ref).sum())
+
+
+def test_multi_contig_tpu_backend_overlap_parity(cpu_jax, tmp_path):
+    """Multi-contig --backend tpu (device-producer / host-consumer
+    pipeline) must match the host path byte-for-byte in file order,
+    including an empty record."""
+    from ribbit_tpu.pipeline import process_fasta
+    from ribbit_tpu.sim import simulate
+
+    fa = tmp_path / "multi.fa"
+    with open(fa, "w") as fh:
+        for ci in range(3):
+            sim = simulate(num_loci=3, seed=40 + ci, name=f"c{ci}",
+                           n_block_rate=0.2)
+            fh.write(f">c{ci}\n{sim.sequence}\n")
+            if ci == 1:
+                fh.write(">empty\n\n")
+    cfg = RibbitConfig.create()
+    host = process_fasta(str(fa), cfg, scan_backend="host")
+    tpu = process_fasta(str(fa), cfg, scan_backend="tpu")
+    assert tpu == host

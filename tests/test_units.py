@@ -214,3 +214,34 @@ def test_cigar_pruning_trims_impure_edges():
         0, 40, "6X34=", 4, cfg.minimum_length)
     assert float(purity) < 0.86
     assert cigar.endswith("=")
+
+
+def test_refine_slice_invariance():
+    """Refining the merged seed stream in contiguous slices and
+    concatenating must equal one whole refine call (the property the
+    multi-host seed fan-out relies on; per-seed independence)."""
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.core import CoreSession
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.sim import simulate
+
+    cfg = RibbitConfig.create()
+    seq = simulate(num_loci=10, seed=321, name="sl").sequence
+    code, n_mask = encode(seq)
+
+    def run(parts):
+        sess = CoreSession(code, n_mask, cfg)
+        try:
+            seeds = sess.scan()
+            if parts == 1:
+                return sess.refine(seeds, seq, "sl")
+            n = seeds.shape[0]
+            out = []
+            for k in range(parts):
+                lo, hi = k * n // parts, (k + 1) * n // parts
+                out.extend(sess.refine(seeds[lo:hi], seq, "sl"))
+            return out
+        finally:
+            sess.close()
+
+    assert run(3) == run(1)
