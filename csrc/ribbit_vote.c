@@ -243,3 +243,44 @@ int32_t ribbit_vote_longer(const int8_t *code, const uint8_t *n_mask,
     }
     return mmotif_index;
 }
+
+/* Partial-prefix votes (parse_seed.cpp:205-233) for every candidate row of
+ * one run, given each row's final upstream cursor — the host half of the
+ * device-batched voter (ribbit_tpu/vote_device.py).  Counting is
+ * order-independent, so the spec's reversed windows (row and column both
+ * decreasing with i) are summed as plain forward ranges through the same
+ * AVX-512 match_count used by the full voter:
+ *   sum_{i<lim} eq(code[lastrow-i], code[pc-i]) & !n[pc-i]
+ *     == match_count(code+lastrow-lim+1, code+pc-lim+1, n+pc-lim+1, lim).
+ */
+void ribbit_vote_prefix_batch(const int8_t *code, const uint8_t *n_mask,
+                              int32_t total_len, int32_t seed_start,
+                              int32_t ssl, int32_t m,
+                              const int32_t *ustream, int32_t nrows,
+                              int32_t *out) {
+    i64 seed_end = (i64)seed_start + ssl;
+    i64 M = m;
+    for (i64 r = 0; r < nrows; r++) {
+        i64 us = ustream[r];
+        out[r] = 0;
+        if (!(us < seed_start && seed_start - us < M))
+            continue;
+        i64 lastrow = seed_start + r + M - 1;
+        i64 prefix_rows = M + (us - seed_start);
+        i64 best = 0;
+        for (i64 x = -2; x <= 2; x++) {
+            i64 pc = us + M - 1 + x;
+            if (pc >= seed_end || pc >= total_len || lastrow >= total_len)
+                continue;
+            i64 lim = prefix_rows;
+            if (pc - seed_start + 1 < lim) lim = pc - seed_start + 1;
+            if (lim <= 0)
+                continue;
+            i64 dc = match_count(code + lastrow - lim + 1,
+                                 code + pc - lim + 1,
+                                 n_mask + pc - lim + 1, lim);
+            if (dc > best) best = dc;
+        }
+        out[r] = (int32_t)best;
+    }
+}

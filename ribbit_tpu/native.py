@@ -113,5 +113,12 @@ def get_vote_lib():
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
+    base.ribbit_vote_prefix_batch.restype = None
+    base.ribbit_vote_prefix_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _vote_lib = base
     return _vote_lib
