@@ -36,12 +36,15 @@ def _translate_codes(s: str) -> np.ndarray:
     return _TRANSLATE[raw & 0x7F]
 
 
-def _batch_forward_split(reads, refs, terms, interpret):
+def _batch_forward_split(reads, refs, terms, interpret,
+                         forward_override=None):
     """Dispatch a forward batch across the two Pallas kernels: the
     one-pair-per-lane v3 kernel (v2 with an 8-row-unrolled block loop,
     ~28 GCUPS on a v5e chip) for pairs inside its VMEM row budget, the
     column-parallel v1 kernel for oversized pairs.  Returns per-pair
-    (score, end_ref, end_read, first_hit) in the input order."""
+    (score, end_ref, end_read, first_hit) in the input order.
+    `forward_override` replaces the v3 dispatch (the mesh-sharded forward,
+    parallel/sharded_refine.py)."""
     from . import align_pallas_v3 as v2
 
     n = len(reads)
@@ -64,7 +67,12 @@ def _batch_forward_split(reads, refs, terms, interpret):
         end_read[idx] = erd
         first_hit[idx] = fh
 
-    run(small, v2.batch_forward)
+    def v3_fwd(reads, refs, terminates=None, interpret=False):
+        if forward_override is not None:
+            return forward_override(reads, refs, terminates, interpret)
+        return v2.batch_forward(reads, refs, terminates, interpret=interpret)
+
+    run(small, v3_fwd)
     if len(small) != n:
         from .align_pallas import batch_forward as v1_forward
         run([i for i in range(n) if not v2.fits(reads[i].shape[0],
@@ -74,7 +82,8 @@ def _batch_forward_split(reads, refs, terms, interpret):
 
 
 def _device_align(pairs: List[Tuple[np.ndarray, np.ndarray]],
-                  interpret: bool) -> List[Optional[Alignment]]:
+                  interpret: bool,
+                  forward_override=None) -> List[Optional[Alignment]]:
     """Exact Align() for a batch of (read, ref) code pairs: device forward +
     device reverse (terminate mode), host banded traceback + '='/'X' split.
     Equivalent to align.ssw_align pair-by-pair."""
@@ -85,8 +94,8 @@ def _device_align(pairs: List[Tuple[np.ndarray, np.ndarray]],
         return out
     reads = [pairs[i][0] for i in live]
     refs = [pairs[i][1] for i in live]
-    score, end_ref, end_read, _ = _batch_forward_split(reads, refs, None,
-                                                       interpret)
+    score, end_ref, end_read, _ = _batch_forward_split(
+        reads, refs, None, interpret, forward_override)
 
     rev_idx = []
     rev_reads, rev_refs, terms = [], [], []
@@ -103,8 +112,8 @@ def _device_align(pairs: List[Tuple[np.ndarray, np.ndarray]],
         rev_refs.append(pairs[i][1][:int(end_ref[k]) + 1][::-1].copy())
         terms.append(int(score[k]))
     if rev_idx:
-        _s2, _er2, erd2, hit2 = _batch_forward_split(rev_reads, rev_refs,
-                                                     terms, interpret)
+        _s2, _er2, erd2, hit2 = _batch_forward_split(
+            rev_reads, rev_refs, terms, interpret, forward_override)
         for j, (k, i) in enumerate(rev_idx):
             read, ref = pairs[i]
             al = Alignment()
@@ -126,7 +135,8 @@ def _device_align(pairs: List[Tuple[np.ndarray, np.ndarray]],
 def refine_batched(seeds: np.ndarray, sequence: str, sequence_id: str,
                    code: np.ndarray, n_mask: np.ndarray, sess,
                    cfg: RibbitConfig, interpret: bool = False,
-                   use_device: bool = True) -> List[str]:
+                   use_device: bool = True,
+                   forward_override=None) -> List[str]:
     """Refine the merged seed stream with batched alignment rounds.
 
     sess: CoreSession (overlay longest-run queries).  Returns BED lines in
@@ -192,7 +202,7 @@ def refine_batched(seeds: np.ndarray, sequence: str, sequence_id: str,
                 pairs.append((read, _translate_codes(ppr)))
 
         if use_device:
-            aligns = _device_align(pairs, interpret)
+            aligns = _device_align(pairs, interpret, forward_override)
         else:
             aligns = [ssw_align(rd, rf) if rd.shape[0] and rf.shape[0]
                       else None for rd, rf in pairs]
