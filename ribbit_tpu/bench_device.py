@@ -58,15 +58,17 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
 
     # K chained invocations inside one jit: a single scalar fetch (~15-25 ms
     # RPC) then amortizes over K kernel executions instead of dominating a
-    # single ~50 ms call.  Each iteration XORs the code with a different
-    # constant so XLA cannot CSE the calls into one.
+    # single ~50 ms call.  Each iteration XORs the code with a DISTINCT
+    # constant so XLA cannot CSE any pair of calls: an earlier revision
+    # used `k & 3`, which repeats after 4 and would let HLO CSE collapse
+    # duplicate dispatches (pure custom calls), inflating the number.
     K = 8
 
     @jax.jit
     def sweep(code):
         acc = jnp.int32(0)
         for k in range(K):
-            perturbed = code ^ (k & 3)
+            perturbed = code ^ k
             outs = v2._scan_all(perturbed, nmask, jnp.int32(L), nsp=nsp,
                                 min_shift=cfg.min_shift,
                                 max_shift=cfg.max_shift, interpret=False)
@@ -113,7 +115,7 @@ def bench_events(cfg=None, L: int = 4 << 20, reps: int = 4) -> dict:
     def sweep(code):
         acc = jnp.int32(0)
         for k in range(K):
-            w = ev._scan_all(code ^ (k & 3), nmask, jnp.int32(L), nsp=nsp,
+            w = ev._scan_all(code ^ k, nmask, jnp.int32(L), nsp=nsp,
                              min_shift=cfg.min_shift,
                              max_shift=cfg.max_shift, interpret=False)
             acc = acc + w[0, :128].sum()
@@ -187,7 +189,7 @@ def bench_align(B: int = 1024, R: int = 256, C: int = 384,
     def align(rd, rf):
         acc = jnp.int32(0)
         for k in range(K):
-            score, *_ = v2._fwd_call(rd ^ (k & 3), rf, rl, cl, tm,
+            score, *_ = v2._fwd_call(rd ^ k, rf, rl, cl, tm,
                                      R=R, C=C, interpret=False)
             acc = acc + score.sum()
         return acc

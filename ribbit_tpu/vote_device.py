@@ -42,6 +42,21 @@ is differential-tested against the scalar spec and the native voter
 (tests/test_vote_device.py); throughput vs the AVX-512 host voter is
 measured by tools/voter_device_bench.py on the real chromosome-fixture
 workload (RIBBIT_VOTE_DUMP).
+
+MEASURED AND REJECTED for production (round 5, VERDICT #3): on the real
+45,048-run / 21.4 Gc chromosome workload the device voter is exact
+(0/1000 sampled mismatches, 1 band-overflow fallback) but ~20-50x slower
+than the host voter (extrapolated ~57-163 s on-chip vs 3.15 s on 4 AVX-512
+threads; per-bucket 0.2 ms/run at ssl<=512 up to 34 ms/run at ssl~8192,
+vs host 3 us - 2.4 ms/run).  The loss is structural, not tuning: the
+median vote run costs the host ~6 us thanks to the early-abort greedy
+walk, far below any device dispatch+table-build granularity, and the big
+runs pay O(ssl^2) table materialization + ~2*ssl/m sequential banded-walk
+iterations against the host's early-aborted O(visited * m/64) AVX-512
+popcounts.  The module stays as the reference device formulation (and the
+walk/table machinery is reusable), but refine_batched keeps the host
+voter.  See NOTES_ROUND5.md and tools/voter_device_bench.py output in
+EVIDENCE.md.
 """
 
 from __future__ import annotations
