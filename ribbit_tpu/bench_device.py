@@ -1,6 +1,6 @@
 """On-device-resident TPU kernel benchmarks.
 
-Times the two flagship device kernels with ALL data generated and kept on
+Times the flagship device kernels with ALL data generated and kept on
 the device — no host<->device transfers of the working set, so the numbers
 are true per-chip kernel throughput even over the slow axon tunnel
 (~1 MB/s), which forbids transfer-based benching.
@@ -9,15 +9,24 @@ are true per-chip kernel throughput even over the slow axon tunnel
                 qualified windows + perfect flags for every motif channel,
                 the O(NSHIFTS*L) pass replacing fasta_utils.cpp:120-161)
                 -> Mbp/s per chip
+  bench_events: the PRODUCTION flagword event-extraction kernel
+                (scan_events_pallas, what --backend tpu actually runs)
   bench_align : align_pallas batched SSW forward scoring (replacing
                 ssw.c:197-386) -> pairs/s and GCUPS
 
-Methodology: the axon backend's block_until_ready can return before remote
-execution completes (per-call wall times did not scale with kernel work),
-so each measurement jits ONE fused computation covering the whole sweep
-and returns a single scalar whose host fetch (float()) forces real
-completion.  The scalar fetch + RPC adds ~15-25 ms, which only makes the
-reported throughput conservative.
+Methodology (two hard-won rules):
+  1. The axon backend's block_until_ready can return before remote
+     execution completes, so every measurement jits a fused computation
+     returning one scalar whose host fetch forces real completion.
+  2. MARGINAL two-point timing: each kernel is measured as K1 and K2
+     chained invocations (every call XORing a DISTINCT constant into the
+     input) and the rate is (K2-K1)*work / (t2-t1).  This cancels the
+     ~25 ms dispatch/RPC floor AND any HLO CSE of repeated pure custom
+     calls — an earlier revision perturbed with `k & 3` (only 4 distinct
+     inputs at K=8), which let CSE collapse half the dispatches and
+     inflate every reported number ~2x (caught round 5; /tmp/cse_test.py
+     shows 8-call and 4-call sweeps with 4 distinct inputs cost the same
+     wall).
 """
 
 from __future__ import annotations
@@ -29,16 +38,36 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
+K1, K2 = 4, 12
+
+
+def _marginal(make_sweep, arg, reps: int = 4):
+    """(seconds per marginal call, t_K1, t_K2, compile_s)."""
+    t0 = time.perf_counter()
+    sweeps = {k: make_sweep(k) for k in (K1, K2)}
+    for k in (K1, K2):
+        float(sweeps[k](arg))                 # compile + warmup
+    compile_s = time.perf_counter() - t0
+    best = {}
+    for k in (K1, K2):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(sweeps[k](arg))             # scalar fetch forces completion
+            b = min(b, time.perf_counter() - t0)
+        best[k] = b
+    dt = max(best[K2] - best[K1], 1e-9)
+    return dt / (K2 - K1), best[K1], best[K2], compile_s
+
+
+def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 4) -> dict:
     """Full-generation scan throughput over all motif channels, Mbp/s/chip.
 
     Uses the row-split manual-DMA v4 kernel (scan_pallas_v4): HBM inputs
     stream through a double-buffered VMEM scratch and each program computes
     only OUT_ROWS=4 shift rows (+2-row halo) of a TILE=32768 tile — the
     sweep optimum; per-program live-set locality dominates even the 2x
-    row-recompute overhead.  Measured on the v5e chip at L=4M:
-    ~970-1030 Mbp/s (TILE=16384: ~963; v3 at TILE=3072: ~244; v2
-    whole-input-in-VMEM: 95-121)."""
+    row-recompute overhead."""
     import numpy as np
     from . import scan_pallas_v4 as v2              # kernel under test (v4)
     if cfg is None:
@@ -56,34 +85,21 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
     code, nmask = jax.block_until_ready((code, nmask))
     nsp = v2._nsp_of(cfg)
 
-    # K chained invocations inside one jit: a single scalar fetch (~15-25 ms
-    # RPC) then amortizes over K kernel executions instead of dominating a
-    # single ~50 ms call.  Each iteration XORs the code with a DISTINCT
-    # constant so XLA cannot CSE any pair of calls: an earlier revision
-    # used `k & 3`, which repeats after 4 and would let HLO CSE collapse
-    # duplicate dispatches (pure custom calls), inflating the number.
-    K = 8
+    def make_sweep(K):
+        @jax.jit
+        def sweep(code):
+            acc = jnp.int32(0)
+            for k in range(K):
+                outs = v2._scan_all(code ^ k, nmask, jnp.int32(L), nsp=nsp,
+                                    min_shift=cfg.min_shift,
+                                    max_shift=cfg.max_shift,
+                                    interpret=False)
+                acc = acc + outs[0][0, :128].astype(jnp.int32).sum()
+            return acc
+        return sweep
 
-    @jax.jit
-    def sweep(code):
-        acc = jnp.int32(0)
-        for k in range(K):
-            perturbed = code ^ k
-            outs = v2._scan_all(perturbed, nmask, jnp.int32(L), nsp=nsp,
-                                min_shift=cfg.min_shift,
-                                max_shift=cfg.max_shift, interpret=False)
-            acc = acc + outs[0][0, :128].astype(jnp.int32).sum()
-        return acc
-
-    t0 = time.perf_counter()
-    float(sweep(code))                        # compile + warmup
-    compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(sweep(code))                    # fetch forces completion
-        best = min(best, time.perf_counter() - t0)
-    return {"tpu_scan_mbps": round(K * L / 1e6 / best, 2),
+    per_call, ta, tb, compile_s = _marginal(make_sweep, code, reps)
+    return {"tpu_scan_mbps": round(L / 1e6 / per_call, 2),
             "tpu_scan_channels": cfg.max_motif - cfg.min_motif + 1,
             "tpu_scan_compile_s": round(compile_s, 1)}
 
@@ -91,8 +107,7 @@ def bench_scan(cfg=None, L: int = 4 << 20, reps: int = 6) -> dict:
 def bench_events(cfg=None, L: int = 4 << 20, reps: int = 4) -> dict:
     """PRODUCTION event-extraction kernel throughput (the kernel the
     pipeline's --backend tpu path actually calls): scan_events_pallas
-    flagword generation for every motif channel, Mbp/s per chip.  Same
-    fused-sweep + scalar-fetch methodology as bench_scan."""
+    flagword generation for every motif channel, Mbp/s per chip."""
     import numpy as np
     from . import scan_events_pallas as ev
     from .scan_pallas_v2 import _nsp_of
@@ -109,25 +124,20 @@ def bench_events(cfg=None, L: int = 4 << 20, reps: int = 4) -> dict:
     code, nmask = jax.block_until_ready((code, nmask))
     nsp = _nsp_of(cfg)
 
-    K = 8
+    def make_sweep(K):
+        @jax.jit
+        def sweep(code):
+            acc = jnp.int32(0)
+            for k in range(K):
+                w = ev._scan_all(code ^ k, nmask, jnp.int32(L), nsp=nsp,
+                                 min_shift=cfg.min_shift,
+                                 max_shift=cfg.max_shift, interpret=False)
+                acc = acc + w[0, :128].sum()
+            return acc
+        return sweep
 
-    @jax.jit
-    def sweep(code):
-        acc = jnp.int32(0)
-        for k in range(K):
-            w = ev._scan_all(code ^ k, nmask, jnp.int32(L), nsp=nsp,
-                             min_shift=cfg.min_shift,
-                             max_shift=cfg.max_shift, interpret=False)
-            acc = acc + w[0, :128].sum()
-        return acc
-
-    float(sweep(code))                        # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(sweep(code))
-        best = min(best, time.perf_counter() - t0)
-    return {"tpu_event_mbps": round(K * L / 1e6 / best, 2)}
+    per_call, *_ = _marginal(make_sweep, code, reps)
+    return {"tpu_event_mbps": round(L / 1e6 / per_call, 2)}
 
 
 def bench_event_decode(cfg=None, L: int = 1 << 22) -> dict:
@@ -169,9 +179,7 @@ def bench_align(B: int = 1024, R: int = 256, C: int = 384,
 
     Uses the one-pair-per-lane v3 kernel (align_pallas_v3): each lane runs
     an independent DP, 1024 pairs per grid step, row loop in 8-row
-    unrolled blocks — ~28 GCUPS on a v5e chip (v2: ~24, column-parallel
-    v1: ~1).  Same amortized methodology as bench_scan: K chained
-    perturbed invocations per scalar fetch."""
+    unrolled blocks."""
     from . import align_pallas_v3 as v2
 
     rd = jax.random.randint(jax.random.PRNGKey(1), (R, B // 128, 128),
@@ -183,25 +191,20 @@ def bench_align(B: int = 1024, R: int = 256, C: int = 384,
     tm = jnp.full((B // 128, 128), -1, jnp.int32)
     jax.block_until_ready((rd, rf, rl, cl, tm))
 
-    K = 8
+    def make_sweep(K):
+        @jax.jit
+        def align(rd):
+            acc = jnp.int32(0)
+            for k in range(K):
+                score, *_ = v2._fwd_call(rd ^ k, rf, rl, cl, tm,
+                                         R=R, C=C, interpret=False)
+                acc = acc + score.sum()
+            return acc
+        return align
 
-    @jax.jit
-    def align(rd, rf):
-        acc = jnp.int32(0)
-        for k in range(K):
-            score, *_ = v2._fwd_call(rd ^ k, rf, rl, cl, tm,
-                                     R=R, C=C, interpret=False)
-            acc = acc + score.sum()
-        return acc
-
-    float(align(rd, rf))                      # compile + warmup
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(align(rd, rf))
-        best = min(best, time.perf_counter() - t0)
-    return {"tpu_align_pairs_per_s": round(K * B / best),
-            "tpu_align_gcups": round(K * B * R * C / best / 1e9, 2)}
+    per_call, *_ = _marginal(make_sweep, rd, reps)
+    return {"tpu_align_pairs_per_s": round(B / per_call),
+            "tpu_align_gcups": round(B * R * C / per_call / 1e9, 2)}
 
 
 def run_device_bench() -> dict:
@@ -217,6 +220,11 @@ def run_device_bench() -> dict:
     out.update(bench_align())
     try:
         out.update(bench_event_decode())
+    except Exception:
+        pass
+    try:
+        from .bench_roofline import roofline_mfu
+        out.update(roofline_mfu(out))
     except Exception:
         pass
     return out

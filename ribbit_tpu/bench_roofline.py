@@ -1,0 +1,150 @@
+"""Roofline / MFU accounting for the flagship kernels (VERDICT #7).
+
+Static op-count models for hand-written VPU kernels are easy to get wrong
+(and marketing-peak numbers for the VPU are not published per ALU), so
+the denominator here is MEASURED on the same chip + Mosaic toolchain:
+
+  vpu_alu_tops    — K chained int32 ops over an (8, 64k) VMEM tile, four
+                    independent accumulator chains (fills ILP): the pure
+                    elementwise-ALU ceiling this toolchain reaches.
+  vpu_ladder_tops — the scan kernels' characteristic mix (cmp + roll +
+                    select + add run-length ladders): the realistic
+                    ceiling for roll-heavy code.
+
+For the scan kernels the honest utilization number is the HBM roofline
+fraction: the bytes moved per bp are EXACT from the kernel geometry
+(code+mask int32 DMA'd once per 4-row call x 26 calls, 4 int8 output
+planes x 26 calls), whereas a hand op-count of the kernel body is
+demonstrably untrustworthy — a careful static count (~160 element-ops
+per row-position) implies an element rate far above the measured ALU
+ceiling, i.e. Mosaic's scheduling/fusion defeats naive op accounting.
+For align the DP-cell op count IS solid (25 element-ops per cell: F 3,
+score 3, diag 2, H 5, E 5, freezes 4, colmax 3 — a plain elementwise
+chain), so align reports a real compute MFU vs the measured ALU ceiling.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS, W = 8, 256 * 128      # (8, 32k) int32 = 1 MB/value: fits scoped VMEM
+                            # with the loop carries (512*128 overflowed)
+OPS = 256            # element-ops per element per unrolled block
+TRIPS = 32           # fori_loop trips around the block: OPS*TRIPS per pass
+                     # (sized so one pass is ~4 G element-ops — the
+                     # marginal-time difference must dwarf RPC jitter)
+HBM_GBPS = 819.0     # v5e public HBM bandwidth
+
+
+def _alu_kernel(x_ref, o_ref):
+    x = x_ref[...]
+
+    def block(_, st):
+        a, b, c, d = st
+        for _ in range(OPS // 8):
+            a = a + b; b = b ^ c; c = c + d; d = d ^ a      # noqa: E702
+            a = a + 1; b = b + 2; c = c ^ 5; d = d + 3      # noqa: E702
+        return a, b, c, d
+
+    a, b, c, d = jax.lax.fori_loop(0, TRIPS, block,
+                                   (x, x ^ 1, x + 2, x ^ 3))
+    o_ref[...] = a + b + c + d
+
+
+def _ladder_kernel(x_ref, o_ref):
+    x = x_ref[...]
+
+    def block(_, t):
+        for i in range(OPS // 4):
+            s = 1 << (i % 8)
+            t = t + jnp.where(t == s, pltpu.roll(t, s, 1), 0)
+        return t
+
+    o_ref[...] = jax.lax.fori_loop(0, TRIPS, block, x)
+
+
+def _measure_peak(kernel, reps: int = 4) -> float:
+    """T element-ops/s via the same marginal two-point methodology as
+    bench_device (distinct XOR constants; scalar-forced completion)."""
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ROWS, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    K1, K2 = 4, 12
+
+    def make(K):
+        @jax.jit
+        def run(x):
+            acc = jnp.int32(0)
+            for k in range(K):
+                acc = acc + f(x ^ k)[0, :128].sum()
+            return acc
+        return run
+
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 100, (ROWS, W)),
+                    jnp.int32)
+    runs = {k: make(k) for k in (K1, K2)}
+    best = {}
+    for k in (K1, K2):
+        float(runs[k](x))
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(runs[k](x))
+            b = min(b, time.perf_counter() - t0)
+        best[k] = b
+    per_call = max(best[K2] - best[K1], 1e-9) / (K2 - K1)
+    return ROWS * W * OPS * TRIPS / per_call / 1e12
+
+
+# the one trustworthy static numerator (see module docstring)
+ALIGN_OPS_PER_CELL = 25
+
+
+def roofline_mfu(kern: dict) -> dict:
+    """MFU/roofline numbers from bench_device results (kern holds
+    tpu_scan_mbps / tpu_event_mbps / tpu_align_gcups)."""
+    from . import scan_pallas_v4 as v4
+    from . import scan_events_pallas as ev
+    from .config import RibbitConfig
+    cfg = RibbitConfig.create()
+    nsp = ((cfg.max_shift - cfg.min_shift + 1) + 7) & ~7
+
+    out = {}
+    alu = _measure_peak(_alu_kernel)
+    ladder = _measure_peak(_ladder_kernel)
+    out["vpu_alu_tops"] = round(alu, 2)
+    out["vpu_ladder_tops"] = round(ladder, 2)
+
+    ncalls = (nsp + v4.OUT_ROWS - 1) // v4.OUT_ROWS
+    if "tpu_scan_mbps" in kern:
+        # HBM: (code+mask int32 reads + 4 int8 plane writes) per call
+        bytes_bp = ncalls * (2 * 4 * (v4.CHUNK / v4.TILE) + 4)
+        out["tpu_scan_hbm_frac"] = round(
+            kern["tpu_scan_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)
+    if "tpu_event_mbps" in kern:
+        nc_ev = (nsp + ev.OUT_ROWS - 1) // ev.OUT_ROWS
+        # reads as scan; ONE int32 flagword plane per 4-row call
+        bytes_bp = nc_ev * (2 * 4 * (ev.CHUNK / ev.TILE) + 4)
+        out["tpu_event_hbm_frac"] = round(
+            kern["tpu_event_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)
+    if "tpu_align_gcups" in kern:
+        tops = kern["tpu_align_gcups"] * 1e9 * ALIGN_OPS_PER_CELL / 1e12
+        out["tpu_align_elem_tops"] = round(tops, 2)
+        out["tpu_align_mfu"] = round(tops / alu, 3)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+    kern = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {}
+    print(json.dumps(roofline_mfu(kern)))
