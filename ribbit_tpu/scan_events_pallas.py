@@ -77,7 +77,7 @@ def _weights(rb: int, out_lo: int, bit0: int) -> jnp.ndarray:
     return jnp.where(inside, jnp.left_shift(jnp.int32(1), sh), 0)
 
 
-def _kernel(L_ref, code_hbm, nmask_hbm, w_ref, eq_scr, cbuf, nbuf,
+def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
             sems, *, rb, row0, out_lo, min_shift, max_shift):
     """One 4-row output group (global shift rows [row0+out_lo,
     row0+out_lo+4)) of the flagword plane for one TILE of positions."""
@@ -90,30 +90,26 @@ def _kernel(L_ref, code_hbm, nmask_hbm, w_ref, eq_scr, cbuf, nbuf,
 
     def tile_dma(s, tidx):
         base = tidx * TILE
-        return (pltpu.make_async_copy(code_hbm.at[:, pl.ds(base, CHUNK)],
-                                      cbuf.at[s], sems.at[s, 0]),
-                pltpu.make_async_copy(nmask_hbm.at[:, pl.ds(base, CHUNK)],
-                                      nbuf.at[s], sems.at[s, 1]))
+        return pltpu.make_async_copy(comb_hbm.at[:, pl.ds(base, CHUNK)],
+                                     cbuf.at[s], sems.at[s])
 
     @pl.when(i == 0)
     def _():
-        d0, d1 = tile_dma(0, 0)
-        d0.start()
-        d1.start()
+        tile_dma(0, 0).start()
 
     @pl.when(i + 1 < n)
     def _():
-        d0, d1 = tile_dma(nxt, i + 1)
-        d0.start()
-        d1.start()
+        tile_dma(nxt, i + 1).start()
 
-    w0, w1 = tile_dma(slot, i)
-    w0.wait()
-    w1.wait()
+    tile_dma(slot, i).wait()
 
     base = i * TILE
-    buf = cbuf[slot]
-    nmv = nbuf[slot]
+    # ONE combined int32 stream halves the kernel's HBM read bytes (it was
+    # 74.7%% of the HBM roofline with separate code+mask streams): comb =
+    # code + 125*n_mask, split with two cheap vector ops
+    comb = cbuf[slot]
+    nmv = (comb >= 125).astype(jnp.int32)
+    buf = comb - 125 * nmv
 
     here = buf[:, :EXT]
     for r in range(rb):
@@ -183,9 +179,9 @@ def _kernel(L_ref, code_hbm, nmask_hbm, w_ref, eq_scr, cbuf, nbuf,
 @functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
                                              "min_shift", "max_shift",
                                              "interpret"))
-def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
+def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
                max_shift, interpret):
-    Lp = code2d.shape[1] - LPAD - RPAD
+    Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = jax.ShapeDtypeStruct((1, Lp), jnp.int32)
     out_specs = pl.BlockSpec((1, TILE), lambda i: (0, i),
@@ -197,19 +193,17 @@ def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
                         pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2, 2))],
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(L_arr, code2d, nmask2d)
+    )(L_arr, comb2d)
 
 
-def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
+def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
     """ceil(nsp/4) calls of one packed 4-row group each -> one
     [ngroups, Lp] int32 flagword plane."""
     ws = []
@@ -220,7 +214,7 @@ def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
         out_lo = glo - row0
         rb = out_lo + OUT_ROWS + HALO_R
         rb = (rb + 7) & ~7
-        w = _scan_rows(code2d, nmask2d, L, rb=rb, row0=row0,
+        w = _scan_rows(comb2d, L, rb=rb, row0=row0,
                        out_lo=out_lo, min_shift=min_shift,
                        max_shift=max_shift, interpret=interpret)
         ws.append(w)
@@ -230,12 +224,13 @@ def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
 def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
     L = code.shape[0]
     Lp = ((L + TILE - 1) // TILE) * TILE
+    # ONE combined stream (code + 125 * n_mask): halves HBM read bytes
     code_p = np.zeros(LPAD + Lp + RPAD, dtype=np.int32)
     code_p[LPAD:LPAD + L] = code
     code_p[:LPAD] = (np.arange(-LPAD, 0) % 120) + 5
     nm_p = np.ones(LPAD + Lp + RPAD, dtype=np.int32)
     nm_p[LPAD:LPAD + L] = n_mask.astype(np.int32)
-    return code_p.reshape(1, -1), nm_p.reshape(1, -1)
+    return (code_p + 125 * nm_p).reshape(1, -1)
 
 
 def flagwords_pallas(code: np.ndarray, n_mask: np.ndarray,
@@ -246,9 +241,9 @@ def flagwords_pallas(code: np.ndarray, n_mask: np.ndarray,
     (shift = min_shift + row) and the bit layout is the module
     docstring's."""
     L = code.shape[0]
-    code_p, nm_p = _pad_inputs(code, n_mask)
+    comb_p = _pad_inputs(code, n_mask)
     nsp = _nsp_of(cfg)
-    w = _scan_all(jnp.asarray(code_p), jnp.asarray(nm_p), jnp.int32(L),
+    w = _scan_all(jnp.asarray(comb_p), jnp.int32(L),
                   nsp=nsp, min_shift=cfg.min_shift,
                   max_shift=cfg.max_shift, interpret=interpret)
     return np.asarray(w)[:, :L]

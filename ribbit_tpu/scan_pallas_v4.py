@@ -58,8 +58,8 @@ OUT_ROWS = 4         # output rows per call (sweep optimum, see module doc)
 HALO_R = 2           # overlay needs anchors of rows r-2..r+2
 
 
-def _kernel(L_ref, code_hbm, nmask_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
-            eq_scr, cbuf, nbuf, sems, *, rb, row0, out_lo, min_shift,
+def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
+            eq_scr, cbuf, sems, *, rb, row0, out_lo, min_shift,
             max_shift):
     """rb rows of the shift space starting at global row `row0`; all rb
     rows (including the overlay halo) are written out — the host slices the
@@ -73,30 +73,26 @@ def _kernel(L_ref, code_hbm, nmask_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
 
     def tile_dma(s, tidx):
         base = tidx * TILE
-        return (pltpu.make_async_copy(code_hbm.at[:, pl.ds(base, CHUNK)],
-                                      cbuf.at[s], sems.at[s, 0]),
-                pltpu.make_async_copy(nmask_hbm.at[:, pl.ds(base, CHUNK)],
-                                      nbuf.at[s], sems.at[s, 1]))
+        return pltpu.make_async_copy(comb_hbm.at[:, pl.ds(base, CHUNK)],
+                                     cbuf.at[s], sems.at[s])
 
     @pl.when(i == 0)
     def _():
-        d0, d1 = tile_dma(0, 0)
-        d0.start()
-        d1.start()
+        tile_dma(0, 0).start()
 
     @pl.when(i + 1 < n)
     def _():
-        d0, d1 = tile_dma(nxt, i + 1)
-        d0.start()
-        d1.start()
+        tile_dma(nxt, i + 1).start()
 
-    w0, w1 = tile_dma(slot, i)
-    w0.wait()
-    w1.wait()
+    tile_dma(slot, i).wait()
 
     base = i * TILE
-    buf = cbuf[slot]
-    nmv = nbuf[slot]
+    # ONE combined int32 stream halves the kernel's HBM read bytes (it was
+    # 74.7%% of the HBM roofline with separate code+mask streams): comb =
+    # code + 125*n_mask, split with two cheap vector ops
+    comb = cbuf[slot]
+    nmv = (comb >= 125).astype(jnp.int32)
+    buf = comb - 125 * nmv
 
     # raw eq rows into scratch: local row r = global shift min_shift+row0+r
     here = buf[:, :EXT]
@@ -162,9 +158,9 @@ def _kernel(L_ref, code_hbm, nmask_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
 @functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
                                              "min_shift", "max_shift",
                                              "interpret"))
-def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
+def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
                max_shift, interpret):
-    Lp = code2d.shape[1] - LPAD - RPAD
+    Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = [jax.ShapeDtypeStruct((rb, Lp), jnp.int8)
                  for _ in range(4)]
@@ -177,19 +173,17 @@ def _scan_rows(code2d, nmask2d, L, *, rb, row0, out_lo, min_shift,
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
                         pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2, 2))],
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(L_arr, code2d, nmask2d)
+    )(L_arr, comb2d)
 
 
-def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
+def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
     """Row-split sweep: ceil(nsp / OUT_ROWS) calls of OUT_ROWS rows each
     (with the ±HALO_R in-row halo), concatenated to [nsp, Lp] like v3.
 
@@ -207,7 +201,7 @@ def _scan_all(code2d, nmask2d, L, *, nsp, min_shift, max_shift, interpret):
         out_lo = glo - row0
         rb = out_lo + OUT_ROWS + HALO_R
         rb = (rb + 7) & ~7                    # sublane multiple
-        outs = _scan_rows(code2d, nmask2d, L, rb=rb, row0=row0,
+        outs = _scan_rows(comb2d, L, rb=rb, row0=row0,
                           out_lo=out_lo, min_shift=min_shift,
                           max_shift=max_shift, interpret=interpret)
         halves.append(tuple(o[out_lo:out_lo + OUT_ROWS] for o in outs))
@@ -220,12 +214,13 @@ def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
     the left pad (codes 5.. never equal a base) and N in the right pad."""
     L = code.shape[0]
     Lp = ((L + TILE - 1) // TILE) * TILE
+    # ONE combined stream (code + 125 * n_mask): halves HBM read bytes
     code_p = np.zeros(LPAD + Lp + RPAD, dtype=np.int32)
     code_p[LPAD:LPAD + L] = code
     code_p[:LPAD] = (np.arange(-LPAD, 0) % 120) + 5
     nm_p = np.ones(LPAD + Lp + RPAD, dtype=np.int32)
     nm_p[LPAD:LPAD + L] = n_mask.astype(np.int32)
-    return code_p.reshape(1, -1), nm_p.reshape(1, -1)
+    return (code_p + 125 * nm_p).reshape(1, -1)
 
 
 def generate_masks_pallas_v4(code: np.ndarray, n_mask: np.ndarray,
@@ -234,9 +229,9 @@ def generate_masks_pallas_v4(code: np.ndarray, n_mask: np.ndarray,
     Returns int8 [nmotifs, L]: (qual7, qual6, perfect_start, perfect_mask)
     bit-equal to scan_pallas_full.generate_masks_pallas."""
     L = code.shape[0]
-    code_p, nm_p = _pad_inputs(code, n_mask)
+    comb_p = _pad_inputs(code, n_mask)
     nsp = _nsp_of(cfg)
-    res = _scan_all(jnp.asarray(code_p), jnp.asarray(nm_p), jnp.int32(L),
+    res = _scan_all(jnp.asarray(comb_p), jnp.int32(L),
                     nsp=nsp, min_shift=cfg.min_shift,
                     max_shift=cfg.max_shift, interpret=interpret)
     r0 = cfg.min_motif - cfg.min_shift
