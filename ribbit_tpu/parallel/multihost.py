@@ -49,6 +49,37 @@ def ensure_initialized(coordinator: str, num_processes: int,
     ensure_initialized._done = True
 
 
+def _with_deadline(fn, *args, what: str = "collective"):
+    """Failure DETECTION for cross-process collectives (SURVEY §5): a dead
+    or stalled peer rank leaves process_allgather blocked forever — the
+    reference has no distributed mode at all, and elastic recovery is out
+    of scope, but turning an indefinite hang into a diagnosable error is
+    cheap.  With RIBBIT_COLLECTIVE_TIMEOUT=<seconds> set, the collective
+    runs under a watchdog; on expiry a TimeoutError names the stalled
+    step and points at `--resume` (output flushed so far is recorded in
+    the resume manifest, so a relaunch skips completed contigs)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    t = float(os.environ.get("RIBBIT_COLLECTIVE_TIMEOUT", "0") or 0)
+    if t <= 0:
+        return fn(*args)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(fn, *args)
+        try:
+            return fut.result(timeout=t)
+        except FutTimeout:
+            raise TimeoutError(
+                f"multihost {what} exceeded RIBBIT_COLLECTIVE_TIMEOUT="
+                f"{t:g}s — a peer process is stalled or dead; relaunch "
+                "the same command with --resume to continue from the "
+                "last recorded contig") from None
+    finally:
+        ex.shutdown(wait=False)
+
+
 def _gather_blobs(local: dict, total: int) -> List[bytes]:
     """Allgather per-slot byte blobs across processes.
 
@@ -60,7 +91,9 @@ def _gather_blobs(local: dict, total: int) -> List[bytes]:
     lens = np.zeros(total, dtype=np.int64)
     for i, b in local.items():
         lens[i] = len(b)
-    lens = np.asarray(multihost_utils.process_allgather(lens)).sum(axis=0)
+    lens = np.asarray(_with_deadline(multihost_utils.process_allgather,
+                                     lens, what="length allgather")
+                      ).sum(axis=0)
 
     offs = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -68,8 +101,9 @@ def _gather_blobs(local: dict, total: int) -> List[bytes]:
     for i, b in local.items():
         payload[offs[i]:offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
     payload = np.asarray(
-        multihost_utils.process_allgather(payload)).sum(axis=0,
-                                                        dtype=np.uint8)
+        _with_deadline(multihost_utils.process_allgather, payload,
+                       what="payload allgather")).sum(axis=0,
+                                                      dtype=np.uint8)
     return [payload[offs[i]:offs[i + 1]].tobytes() for i in range(total)]
 
 

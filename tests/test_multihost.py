@@ -82,3 +82,20 @@ def test_two_process_multihost_byte_identical(tmp_path):
         env=_env(1), capture_output=True, timeout=300)
     assert whole.returncode == 0, whole.stderr.decode()
     assert mh == (tmp_path / "whole.bed").read_bytes()
+
+
+def test_collective_watchdog_detects_stall(monkeypatch):
+    """SURVEY §5 failure detection: a stalled peer must surface as a
+    diagnosable TimeoutError pointing at --resume, not an infinite hang."""
+    import time
+    import pytest
+    from ribbit_tpu.parallel.multihost import _with_deadline
+
+    monkeypatch.setenv("RIBBIT_COLLECTIVE_TIMEOUT", "0.2")
+    with pytest.raises(TimeoutError, match="--resume"):
+        _with_deadline(time.sleep, 5, what="test stall")
+    # fast collectives pass through untouched
+    assert _with_deadline(lambda x: x + 1, 41) == 42
+    # unset -> direct call, no watchdog thread
+    monkeypatch.delenv("RIBBIT_COLLECTIVE_TIMEOUT")
+    assert _with_deadline(lambda x: x * 2, 21) == 42
