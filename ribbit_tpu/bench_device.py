@@ -31,7 +31,6 @@ Methodology (two hard-won rules):
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
