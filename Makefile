@@ -4,6 +4,7 @@
 CC ?= cc
 CFLAGS ?= -O3 -march=native -shared -fPIC -pthread
 SRCS = csrc/ribbit_core.c csrc/ribbit_refine.c csrc/ribbit_align.c \
+       csrc/ribbit_events.c \
        csrc/ribbit_vote.c
 
 .PHONY: all native asan tsan ubsan oracle test bench clean
@@ -25,7 +26,7 @@ asan:
 	$(CC) -O1 -g -fsanitize=address -march=native -shared -fPIC -pthread \
 	    $(SRCS) -o build/ribbit_asan.so -lm
 	python -c "import hashlib,pathlib,shutil; \
-	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c','ribbit_events.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
 	    shutil.copy('build/ribbit_asan.so', f'build/ribbit_core_{h}.so')"
 
@@ -36,7 +37,7 @@ tsan:
 	$(CC) -O1 -g -fsanitize=thread -march=native -shared -fPIC -pthread \
 	    $(SRCS) -o build/ribbit_tsan.so -lm
 	python -c "import hashlib,pathlib,shutil; \
-	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c','ribbit_events.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
 	    shutil.copy('build/ribbit_tsan.so', f'build/ribbit_core_{h}.so')"
 
@@ -47,7 +48,7 @@ ubsan:
 	$(CC) -O1 -g -fsanitize=undefined -fno-sanitize-recover=undefined \
 	    -march=native -shared -fPIC -pthread $(SRCS) -o build/ribbit_ubsan.so -lm
 	python -c "import hashlib,pathlib,shutil; \
-	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c']; \
+	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c','ribbit_events.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \
 	    shutil.copy('build/ribbit_ubsan.so', f'build/ribbit_core_{h}.so')"
 
