@@ -245,3 +245,26 @@ def test_refine_slice_invariance():
             sess.close()
 
     assert run(3) == run(1)
+
+
+def test_makefile_sources_match_core_compile_list():
+    """The sanitizer targets install their instrumented .so under the
+    SAME content hash native.py computes; a csrc file added to core.py's
+    _compile list but not the Makefile silently breaks make asan/tsan/
+    ubsan (happened with ribbit_events.c)."""
+    import pathlib
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    core = (repo / "ribbit_tpu" / "core.py").read_text()
+    m = re.search(r"_compile\(\[(.*?)\]\)", core, re.S)
+    core_files = re.findall(r'"(ribbit_\w+\.c)"', m.group(1))
+
+    mk = (repo / "Makefile").read_text()
+    srcs = re.findall(r"csrc/(ribbit_\w+\.c)", mk.split("SRCS =")[1]
+                      .split("\n\n")[0])
+    assert sorted(srcs) == sorted(core_files), (srcs, core_files)
+
+    for hash_list in re.findall(r"files=\[(.*?)\]", mk):
+        files = re.findall(r"'(ribbit_\w+\.c)'", hash_list)
+        assert files == core_files, (files, core_files)
