@@ -441,7 +441,7 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
         # device-producer / host-consumer overlap: ONE thread drives the
         # chip (extraction for contig k+1 proceeds while the host replays
         # and refines contig k); the host side uses all cores per contig
-        yield from _fasta_records_tpu_overlap(records, todo, cfg, skip)
+        yield from _fasta_records_tpu_overlap(records, todo, cfg)
         return
 
     serial = (engine != "core" or workers <= 1 or len(todo) <= 1)
@@ -476,7 +476,7 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
                 yield sid, len(seq), (f.result() if f is not None else None)
 
 
-def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig, skip):
+def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig):
     """--backend tpu multi-contig pipeline: a single device thread streams
     contigs through the event-extraction kernel (the chip is a serial
     resource) while the calling thread replays/refines the previous
@@ -503,14 +503,31 @@ def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig, skip):
         return code, n_mask, scan_events_segmented(code, n_mask, cfg,
                                                    extractor=_ex)
 
+    # bounded prefetch: at most PREFETCH contigs' extracted events are held
+    # beyond the one being consumed (an eager submit-all would accumulate
+    # every contig's event streams — ~50 B/bp — before the host catches up)
+    PREFETCH = 2
     with ThreadPoolExecutor(max_workers=1) as dev:
-        futs = {t[0]: dev.submit(extract, t) for t in todo}
+        futs = {}
+        submitted = 0
+        consumed = 0
+
+        def top_up():
+            nonlocal submitted
+            while submitted < len(todo) and submitted - consumed <= PREFETCH:
+                t = todo[submitted]
+                futs[t[0]] = dev.submit(extract, t)
+                submitted += 1
+
+        top_up()
         for i, (sid, seq) in enumerate(records):
-            f = futs.get(i)
+            f = futs.pop(i, None)
             if f is None:
                 yield sid, len(seq), None
                 continue
             res = f.result()
+            consumed += 1
+            top_up()
             if res is None:                  # empty record
                 yield sid, 0, []
                 continue

@@ -140,3 +140,41 @@ def test_multi_contig_tpu_backend_overlap_parity(cpu_jax, tmp_path):
     host = process_fasta(str(fa), cfg, scan_backend="host")
     tpu = process_fasta(str(fa), cfg, scan_backend="tpu")
     assert tpu == host
+
+
+def test_tpu_overlap_prefetch_is_bounded(cpu_jax, tmp_path, monkeypatch):
+    """The device-producer pipeline must hold at most PREFETCH+1 contigs'
+    extracted events in flight — an eager submit-all would accumulate every
+    contig's event streams before the host consumes any."""
+    import ribbit_tpu.pipeline as pl
+    from ribbit_tpu import eventstitch
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.sim import simulate
+
+    fa = tmp_path / "many.fa"
+    with open(fa, "w") as fh:
+        for ci in range(8):
+            sim = simulate(num_loci=2, seed=60 + ci, name=f"c{ci}")
+            fh.write(f">c{ci}\n{sim.sequence}\n")
+
+    state = {"started": 0, "consumed": 0, "max_ahead": 0}
+    real = eventstitch.scan_events_segmented
+
+    def spy(*a, **kw):
+        state["started"] += 1
+        state["max_ahead"] = max(state["max_ahead"],
+                                 state["started"] - state["consumed"])
+        return real(*a, **kw)
+
+    monkeypatch.setattr(eventstitch, "scan_events_segmented", spy)
+    cfg = RibbitConfig.create()
+    from ribbit_tpu.fasta import read_fasta
+    records = list(read_fasta(str(fa)))
+    todo = [(i, sid, seq) for i, (sid, seq) in enumerate(records)]
+    for _sid, _n, _lines in pl._fasta_records_tpu_overlap(records, todo,
+                                                          cfg):
+        state["consumed"] += 1
+
+    assert state["started"] == 8
+    # PREFETCH=2 -> at most PREFETCH+1 extractions ahead of consumption
+    assert state["max_ahead"] <= 3, state
