@@ -29,7 +29,6 @@ chain), so align reports a real compute MFU vs the measured ALU ceiling.
 
 from __future__ import annotations
 
-import time
 
 import numpy as np
 import jax
@@ -76,7 +75,6 @@ def _measure_peak(kernel, reps: int = 2, passes: int = 5) -> float:
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    K1, K2 = 4, 12
 
     def make(K):
         @jax.jit
@@ -89,22 +87,9 @@ def _measure_peak(kernel, reps: int = 2, passes: int = 5) -> float:
 
     x = jnp.asarray(np.random.default_rng(0).integers(0, 100, (ROWS, W)),
                     jnp.int32)
-    runs = {k: make(k) for k in (K1, K2)}
-    for k in (K1, K2):
-        float(runs[k](x))                     # compile + warmup
-    per = []
-    for _ in range(passes):
-        best = {}
-        for k in (K1, K2):
-            b = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(runs[k](x))
-                b = min(b, time.perf_counter() - t0)
-            best[k] = b
-        per.append(max(best[K2] - best[K1], 1e-9) / (K2 - K1))
-    per.sort()
-    return ROWS * W * OPS * TRIPS / per[len(per) // 2] / 1e12
+    from .bench_device import _marginal
+    per_call, *_ = _marginal(make, x, reps=reps, passes=passes)
+    return ROWS * W * OPS * TRIPS / per_call / 1e12
 
 
 # the one trustworthy static numerator (see module docstring)

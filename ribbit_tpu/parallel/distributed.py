@@ -134,10 +134,19 @@ def distributed_process_contig(sequence_id: str, sequence: str,
                                workers: Optional[int] = None) -> List[str]:
     """Process one contig: device-sharded scan + ONE exact global replay."""
     import os
-    from ..core import CoreSession
+    import sys
+    from ..core import MAX_CONTIG, CoreSession
     from ..pipeline import process_sequence
 
     L = len(sequence)
+    if L >= MAX_CONTIG:
+        # the single exact global replay needs one whole-contig native
+        # session; past the i32 cap fall back to the single-process
+        # over-cap chunked path rather than raising
+        print(f"ribbit-tpu: {sequence_id} exceeds 2^31-64 bp; distributed "
+              "replay unavailable — using the single-process auto-chunk "
+              "path", file=sys.stderr)
+        return process_sequence(sequence_id, sequence, cfg)
     code, n_mask = encode(sequence)
     bounds = segment_bounds(L, chunk_size)
     nchunks = len(bounds) - 1

@@ -133,13 +133,24 @@ def multihost_process_contig(sequence_id: str, sequence: str,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..core import CoreSession
+    from ..core import MAX_CONTIG, CoreSession
     from ..eventstitch import clip_stream, merge_clipped, segment_bounds
     from .distributed import (_stack_windows, _sharded_extract,
                               distributed_process_contig)
     from .sharded_scan import make_mesh
 
     L = len(sequence)
+    if L >= MAX_CONTIG:
+        # the exact global replay needs a whole-contig native session;
+        # past the i32 cap every process runs the single-process over-cap
+        # path redundantly (deterministic, so all ranks agree) — slow but
+        # correct, and a contig this size is already exceptional
+        import sys as _sys
+        from ..pipeline import process_sequence
+        print(f"ribbit-tpu: {sequence_id} exceeds 2^31-64 bp; multihost "
+              "replay unavailable — every process runs the auto-chunk "
+              "path redundantly", file=_sys.stderr)
+        return process_sequence(sequence_id, sequence, cfg)
     code, n_mask = encode(sequence)
     bounds = segment_bounds(L, chunk_size)
     nchunks = len(bounds) - 1

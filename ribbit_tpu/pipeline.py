@@ -309,6 +309,10 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
     packed overlay cache is never built: capture mode skips it and the
     injected-events session recomputes range queries on demand).
 
+    `workers` bounds this path's native thread count; `halo` and `strict`
+    apply only to the over-cap split fallback below (the stitched path's
+    capture halo is the fixed, exactness-validated eventstitch.HALO).
+
     Contigs past the native core's i32 position range cannot hold a global
     session and fall back to independent split processing
     (_process_chunked_split; exact only at big-N-run splits)."""
@@ -323,7 +327,7 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
                                       chunk_size=chunk_size, halo=halo,
                                       workers=workers, strict=strict)
     import os
-    ncpu = os.cpu_count() or 1
+    ncpu = workers or os.cpu_count() or 1
     code, n_mask = encode(sequence)
     perf, q7, q6 = scan_events_segmented(
         code, n_mask, cfg, extractor=capture_runs_host,
@@ -437,7 +441,13 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
     if workers is None:
         workers = min(ncpu, len(todo)) or 1
 
-    if engine == "core" and scan_backend == "tpu" and len(todo) > 1:
+    # debug/engine knobs route refinement differently per contig; they are
+    # honored by process_sequence, so their presence keeps the serial path
+    debug_knobs = (os.environ.get("RIBBIT_BATCHED_REFINE")
+                   or os.environ.get("RIBBIT_PY_REFINE")
+                   or os.environ.get("RIBBIT_STREAM", "1") == "0")
+    if (engine == "core" and scan_backend == "tpu" and len(todo) > 1
+            and not debug_knobs):
         # device-producer / host-consumer overlap: ONE thread drives the
         # chip (extraction for contig k+1 proceeds while the host replays
         # and refines contig k); the host side uses all cores per contig
@@ -486,7 +496,7 @@ def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig):
     import os
     from concurrent.futures import ThreadPoolExecutor
     import jax
-    from .core import CoreSession
+    from .core import MAX_CONTIG, CoreSession
     from .eventstitch import scan_events_segmented
 
     if jax.default_backend() in ("tpu", "axon"):
@@ -494,14 +504,26 @@ def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig):
     else:
         from .scan_events_tpu import scan_events as _ex
     ncpu = os.cpu_count() or 1
+    _FALLBACK = object()          # consume via process_sequence instead
 
     def extract(rec):
-        _i, _sid, seq = rec
+        _i, sid, seq = rec
         if not seq:
             return None
+        if len(seq) >= MAX_CONTIG:
+            # past the native core's i32 range: process_sequence routes
+            # through the over-cap chunked path
+            return _FALLBACK
         code, n_mask = encode(seq)
-        return code, n_mask, scan_events_segmented(code, n_mask, cfg,
-                                                   extractor=_ex)
+        try:
+            return code, n_mask, scan_events_segmented(code, n_mask, cfg,
+                                                       extractor=_ex)
+        except OverflowError:
+            # device event-capacity autotune failed to converge: fall back
+            # to host generation for this contig (mirrors _process_core)
+            print("ribbit-tpu: device event capacity autotune failed for "
+                  f"{sid}; using host generation", file=sys.stderr)
+            return _FALLBACK
 
     # bounded prefetch: at most PREFETCH contigs' extracted events are held
     # beyond the one being consumed (an eager submit-all would accumulate
@@ -531,8 +553,19 @@ def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig):
             if res is None:                  # empty record
                 yield sid, 0, []
                 continue
+            if res is _FALLBACK:             # over-cap or autotune failure
+                yield sid, len(seq), process_sequence(sid, seq, cfg,
+                                                      scan_backend="tpu")
+                continue
             code, n_mask, events = res
-            sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
+            try:
+                sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
+            except RuntimeError:
+                # native core unavailable: process_sequence degrades to the
+                # Python engine with a warning (same as the serial path)
+                yield sid, len(seq), process_sequence(sid, seq, cfg,
+                                                      scan_backend="tpu")
+                continue
             try:
                 sess.set_events(*events)
                 seeds = sess.scan()
