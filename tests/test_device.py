@@ -178,3 +178,64 @@ def test_tpu_overlap_prefetch_is_bounded(cpu_jax, tmp_path, monkeypatch):
     assert state["started"] == 8
     # PREFETCH=2 -> at most PREFETCH+1 extractions ahead of consumption
     assert state["max_ahead"] <= 3, state
+
+
+def test_tpu_overlap_overcap_contig_falls_back(cpu_jax, tmp_path,
+                                               monkeypatch):
+    """A contig past the native i32 cap inside a multi-contig tpu run must
+    route through process_sequence's auto-chunk path, not crash."""
+    import ribbit_tpu.core as core_mod
+    import ribbit_tpu.pipeline as pl
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.sim import simulate
+
+    # c1 carries a big N run so the over-cap auto-chunk fallback can
+    # split exactly (raw-offset splits are best-effort by contract)
+    s0 = simulate(num_loci=3, seed=70, name="c0").sequence
+    s1 = (simulate(num_loci=3, seed=71, name="c1a").sequence + "N" * 800
+          + simulate(num_loci=3, seed=72, name="c1b").sequence)
+    fa = tmp_path / "oc.fa"
+    with open(fa, "w") as fh:
+        fh.write(f">c0\n{s0}\n>c1\n{s1}\n")
+
+    cfg = RibbitConfig.create()
+    host = pl.process_fasta(str(fa), cfg, scan_backend="host")
+    # pretend the larger contig exceeds the cap
+    cap = max(len(s0), len(s1))
+    monkeypatch.setattr(core_mod, "MAX_CONTIG", cap)
+    monkeypatch.setattr(pl, "MAX_CONTIG", cap, raising=False)
+    tpu = pl.process_fasta(str(fa), cfg, scan_backend="tpu")
+    assert tpu == host
+
+
+def test_tpu_overlap_autotune_failure_falls_back(cpu_jax, tmp_path,
+                                                 monkeypatch):
+    """An event-capacity autotune failure on one contig must fall back to
+    host generation for that contig only (byte parity preserved)."""
+    import ribbit_tpu.pipeline as pl
+    from ribbit_tpu import eventstitch
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.sim import simulate
+
+    sims = [simulate(num_loci=3, seed=80 + i, name=f"c{i}")
+            for i in range(3)]
+    fa = tmp_path / "af.fa"
+    with open(fa, "w") as fh:
+        for i, s in enumerate(sims):
+            fh.write(f">c{i}\n{s.sequence}\n")
+
+    cfg = RibbitConfig.create()
+    host = pl.process_fasta(str(fa), cfg, scan_backend="host")
+
+    real = eventstitch.scan_events_segmented
+    state = {"n": 0}
+
+    def flaky(*a, **kw):
+        state["n"] += 1
+        if state["n"] == 2:                # second contig's extraction
+            raise OverflowError("synthetic autotune failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(eventstitch, "scan_events_segmented", flaky)
+    tpu = pl.process_fasta(str(fa), cfg, scan_backend="tpu")
+    assert tpu == host
