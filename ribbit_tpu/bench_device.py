@@ -178,10 +178,12 @@ def bench_event_decode(cfg=None, L: int = 1 << 22) -> dict:
                 w[g, e] |= np.uint32(1 << (b_e + b))
     w = w.view(np.int32)
     ev._decode_c(w, cfg)                   # warm: lib load + thread pool
-    t0 = time.perf_counter()
-    ev._decode_c(w, cfg)
-    dt = time.perf_counter() - t0
-    return {"host_decode_mbps": round(L / 1e6 / dt, 1)}
+    best = float("inf")
+    for _ in range(4):                     # page-fault noise swings single
+        t0 = time.perf_counter()           # calls ~3x; take the best
+        ev._decode_c(w, cfg)
+        best = min(best, time.perf_counter() - t0)
+    return {"host_decode_mbps": round(L / 1e6 / best, 1)}
 
 
 def bench_align(B: int = 4096, R: int = 256, C: int = 384,

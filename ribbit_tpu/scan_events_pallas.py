@@ -308,7 +308,12 @@ def _decode_c(w: np.ndarray, cfg: RibbitConfig):
         hi_row = min(4 * g + 4, r0 + nm)
         if lo_row >= hi_row:
             return None
-        cap = max(1 << 12, L // 16)          # per-channel bucket capacity
+        # per-channel bucket capacity: measured densities are < L/190
+        # starts per channel even on the repeat-dense chromosome fixture;
+        # L/64 keeps the allocation churn ~25 MB/call instead of 650 MB
+        # (which made decode throughput swing 5x call-to-call), and the
+        # retry loop grows past the reported need on overflow
+        cap = max(1 << 12, L // 64)
         while True:
             bufs = [np.empty(4 * cap, dtype=np.int32) for _ in range(6)]
             cnt = np.zeros(12, dtype=np.int64)
