@@ -76,3 +76,36 @@ def test_flagword_bed_parity(cpu_jax, small_tile, golden_dir):
             sess.close()
     expected = (golden_dir / "g3.oracle.bed").read_text().splitlines()
     assert lines == expected
+
+
+def test_c_decoder_fuzz_and_cap_retry(cpu_jax):
+    """Synthetic flagword planes at adversarial densities: the C decoder
+    must match the numpy spec, including when a channel's event count
+    overflows the initial bucket capacity (cap=4096 at small L) and the
+    grow-and-retry path fires."""
+    import numpy as np
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.scan_events_pallas import _decode_c, _decode_numpy
+
+    cfg = RibbitConfig.create()
+    nsp = ((cfg.max_shift - cfg.min_shift + 1) + 7) & ~7
+    ngroups = (nsp + 3) // 4
+    rng = np.random.default_rng(0)
+    L = 16384                               # initial cap = 4096 buckets
+
+    for trial, nevents in enumerate((8, 700, 6000)):  # 6000 > 4096: retry
+        w = np.zeros((ngroups, L), dtype=np.uint32)
+        for g in range(min(ngroups, 5)):
+            for b in range(4):
+                for b_s, b_e in ((0, 4), (8, 12), (16, 20)):
+                    n = nevents if (g, b, b_s) == (1, 2, 0) else \
+                        int(rng.integers(0, 30))
+                    pos = np.sort(rng.choice(L, 2 * n, replace=False))
+                    w[g, pos[0::2]] |= np.uint32(1 << (b_s + b))
+                    w[g, pos[1::2]] |= np.uint32(1 << (b_e + b))
+        wi = w.view(np.int32)
+        got = _decode_c(wi, cfg)
+        want = _decode_numpy(wi, cfg)
+        for gs, ws in zip(got, want):
+            for a, b in zip(gs, ws):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), trial
