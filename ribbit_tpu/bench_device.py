@@ -24,9 +24,8 @@ Methodology (two hard-won rules):
      ~25 ms dispatch/RPC floor AND any HLO CSE of repeated pure custom
      calls — an earlier revision perturbed with `k & 3` (only 4 distinct
      inputs at K=8), which let CSE collapse half the dispatches and
-     inflate every reported number ~2x (caught round 5; /tmp/cse_test.py
-     shows 8-call and 4-call sweeps with 4 distinct inputs cost the same
-     wall).
+     inflate every reported number ~2x (caught round 5: an 8-call sweep
+     with 4 distinct inputs cost the same wall clock as a 4-call sweep).
 """
 
 from __future__ import annotations
