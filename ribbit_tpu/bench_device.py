@@ -99,8 +99,10 @@ def bench_scan(cfg=None, L: int = 8 << 20, reps: int = 2) -> dict:
         def sweep(comb):
             acc = jnp.int32(0)
             for k in range(K):
-                # XOR below 125 stays in the code field of the stream
-                outs = v2._scan_all(comb ^ (k & 3), L=jnp.int32(L - k),
+                # truly distinct per-call input (k < K2=12 < 125 keeps the
+                # XOR inside the code field; the distinct L - k operand is
+                # a second, independent CSE guard)
+                outs = v2._scan_all(comb ^ k, L=jnp.int32(L - k),
                                     nsp=nsp, min_shift=cfg.min_shift,
                                     max_shift=cfg.max_shift,
                                     interpret=False)
@@ -139,7 +141,8 @@ def bench_events(cfg=None, L: int = 8 << 20, reps: int = 2) -> dict:
         def sweep(comb):
             acc = jnp.int32(0)
             for k in range(K):
-                w = ev._scan_all(comb ^ (k & 3), L=jnp.int32(L - k),
+                # distinct per-call input (see bench_scan's note)
+                w = ev._scan_all(comb ^ k, L=jnp.int32(L - k),
                                  nsp=nsp, min_shift=cfg.min_shift,
                                  max_shift=cfg.max_shift, interpret=False)
                 acc = acc + w[0, :128].sum()

@@ -77,7 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process contigs longer than 1.5x this many bp in "
                         "bounded-memory chunks (per-chunk event extraction "
                         "stitched into one exact global replay); output is "
-                        "byte-identical to whole-contig processing")
+                        "byte-identical to whole-contig processing for "
+                        "contigs under 2^31-64 bp (past the cap, splits "
+                        "prefer exact N-run midpoints and warn if output "
+                        "near raw cuts is best-effort)")
     return p
 
 

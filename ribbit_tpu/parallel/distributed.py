@@ -169,7 +169,7 @@ def distributed_process_contig(sequence_id: str, sequence: str,
             parts[j].append(clip_stream(st, bounds[i], bounds[i + 1], wlo))
     perf, q7, q6 = (merge_clipped(p, nm) for p in parts)
 
-    ncpu = os.cpu_count() or 1
+    ncpu = workers or os.cpu_count() or 1
     sess = CoreSession(code, n_mask, cfg, nthreads=ncpu)
     try:
         sess.set_events(perf, q7, q6)

@@ -59,25 +59,37 @@ def _with_deadline(fn, *args, what: str = "collective"):
     step and points at `--resume` (output flushed so far is recorded in
     the resume manifest, so a relaunch skips completed contigs)."""
     import os
-    from concurrent.futures import ThreadPoolExecutor
-    from concurrent.futures import TimeoutError as FutTimeout
+    import queue as _queue
+    import threading
 
     t = float(os.environ.get("RIBBIT_COLLECTIVE_TIMEOUT", "0") or 0)
     if t <= 0:
         return fn(*args)
-    ex = ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = ex.submit(fn, *args)
+    # DAEMON thread, not ThreadPoolExecutor: concurrent.futures' atexit
+    # hook joins non-daemon workers, so an abandoned stalled worker would
+    # re-hang the process at interpreter exit — the hang this watchdog
+    # exists to prevent.
+    q: _queue.Queue = _queue.Queue(maxsize=1)
+
+    def run():
         try:
-            return fut.result(timeout=t)
-        except FutTimeout:
-            raise TimeoutError(
-                f"multihost {what} exceeded RIBBIT_COLLECTIVE_TIMEOUT="
-                f"{t:g}s — a peer process is stalled or dead; relaunch "
-                "the same command with --resume to continue from the "
-                "last recorded contig") from None
-    finally:
-        ex.shutdown(wait=False)
+            q.put((True, fn(*args)))
+        except BaseException as e:  # noqa: BLE001 — relayed to caller
+            q.put((False, e))
+
+    threading.Thread(target=run, daemon=True,
+                     name=f"ribbit-{what}").start()
+    try:
+        ok, val = q.get(timeout=t)
+    except _queue.Empty:
+        raise TimeoutError(
+            f"multihost {what} exceeded RIBBIT_COLLECTIVE_TIMEOUT="
+            f"{t:g}s — a peer process is stalled or dead; relaunch "
+            "the same command with --resume to continue from the "
+            "last recorded contig") from None
+    if not ok:
+        raise val
+    return val
 
 
 def _gather_blobs(local: dict, total: int) -> List[bytes]:

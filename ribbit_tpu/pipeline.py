@@ -323,9 +323,12 @@ def process_sequence_chunked(sequence_id: str, sequence: str,
     if L <= chunk_size + chunk_size // 2:
         return process_sequence(sequence_id, sequence, cfg)
     if L >= MAX_CONTIG:
+        # strict=True: prefer exact big-N-run splits; the no-N-run branch
+        # inside prints the best-effort warning before degrading, keeping
+        # the documented byte-identical contract honest for over-cap input
         return _process_chunked_split(sequence_id, sequence, cfg,
                                       chunk_size=chunk_size, halo=halo,
-                                      workers=workers, strict=strict)
+                                      workers=workers, strict=True)
     import os
     ncpu = workers or os.cpu_count() or 1
     code, n_mask = encode(sequence)
@@ -454,7 +457,11 @@ def process_fasta_records(path: str, cfg: RibbitConfig,
         yield from _fasta_records_tpu_overlap(records, todo, cfg)
         return
 
-    serial = (engine != "core" or workers <= 1 or len(todo) <= 1)
+    # scan_backend == "tpu" outside the overlap path (debug knobs set or a
+    # single contig) must stay serial: the chip is a serial resource and
+    # concurrent pool threads would interleave device extraction
+    serial = (engine != "core" or workers <= 1 or len(todo) <= 1
+              or scan_backend == "tpu")
 
     def run_one(rec):
         _i, sid, seq = rec

@@ -94,8 +94,17 @@ def test_collective_watchdog_detects_stall(monkeypatch):
     monkeypatch.setenv("RIBBIT_COLLECTIVE_TIMEOUT", "0.2")
     with pytest.raises(TimeoutError, match="--resume"):
         _with_deadline(time.sleep, 5, what="test stall")
-    # fast collectives pass through untouched
+    # the abandoned stalled worker must be a DAEMON thread: a non-daemon
+    # worker (or concurrent.futures' atexit join) would re-hang the
+    # process at interpreter exit, defeating the watchdog (ADVICE r4)
+    import threading
+    stalled = [t for t in threading.enumerate()
+               if t.name == "ribbit-test stall"]
+    assert stalled and all(t.daemon for t in stalled)
+    # fast collectives pass through untouched; exceptions relay to caller
     assert _with_deadline(lambda x: x + 1, 41) == 42
+    with pytest.raises(ValueError, match="boom"):
+        _with_deadline(lambda: (_ for _ in ()).throw(ValueError("boom")))
     # unset -> direct call, no watchdog thread
     monkeypatch.delenv("RIBBIT_COLLECTIVE_TIMEOUT")
     assert _with_deadline(lambda x: x * 2, 21) == 42

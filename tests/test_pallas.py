@@ -144,6 +144,31 @@ def test_pallas_v4_matches_v1(cpu_jax):
         jax.clear_caches()
 
 
+def test_pallas_v4_shipped_geometry_matches_v1(cpu_jax):
+    """The UNPATCHED shipped v4 geometry (TILE=32768, EXT/CHUNK as the
+    module computes them from CAP/LPAD/RPAD) must be bit-equal to the
+    proven v1 masks.  Complements test_pallas_v4_matches_v1, whose
+    interpret run patches TILE down for speed: this one exercises exactly
+    the configuration the production kernel compiles, so a geometry-
+    constant change can never ship untested again (~16 s, one cfg)."""
+    import ribbit_tpu.scan_pallas_v4 as m
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.sim import simulate
+    from ribbit_tpu.scan_pallas_full import generate_masks_pallas
+    from ribbit_tpu.scan_pallas_v4 import generate_masks_pallas_v4
+
+    assert m.TILE == 32768          # pin the shipped geometry
+    assert m.EXT == m.LPAD + m.TILE + m.CAP + 128
+    assert m.CHUNK == m.LPAD + m.TILE + m.RPAD
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=2, seed=7, name="v4g", n_block_rate=0.5)
+    code, n_mask = encode(sim.sequence)
+    v1 = generate_masks_pallas(code, n_mask, cfg, interpret=True)
+    v4 = generate_masks_pallas_v4(code, n_mask, cfg, interpret=True)
+    for a, b in zip(v1, v4):
+        assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
+
+
 def test_pallas_batched_ssw_forward(cpu_jax):
     """The batched SSW forward kernel must match the reference engine's
     score/end positions in both full-scan and reverse-terminate modes."""

@@ -67,7 +67,7 @@ def main() -> None:
         key = (ss, ssl, m)
         if key not in cache:
             lo, hi = ss - 2, ss + ssl + 2
-            if lo < 0 or hi > L or n_mask[lo:hi].any():
+            if ssl == 0 or lo < 0 or hi > L or n_mask[lo:hi].any():
                 cache[key] = "boundary_or_N"
             else:
                 q = smallest_period(code[ss:ss + ssl])
