@@ -1,28 +1,33 @@
-/* Flagword decoder: device-produced packed event flags -> exact event
- * streams for the native core replay (ribbit_core_set_events contract).
+/* Bitmap-word decoder: device-produced packed qualified bitmaps -> exact
+ * event streams for the native core replay (ribbit_core_set_events
+ * contract).
  *
- * The TPU event-extraction kernel (ribbit_tpu/scan_events_pallas.py) emits,
- * per 4-shift-row group, ONE int32 word per sequence position:
+ * The TPU event-extraction kernel (ribbit_tpu/scan_events_pallas.py)
+ * emits ONE int32 word per sequence position carrying NROWS = 10 shift
+ * rows with a uniform field stride:
  *
- *   bits  0- 3  q6 run-start flags   (threshold-6 overlay windows,
- *         4- 7  q6 run-end flags      parse_anchored_shiftxor.cpp path)
- *         8-11  q7 run-start flags   (threshold-7 raw windows,
- *        12-15  q7 run-end flags      parse_substitute_shiftxor.cpp path)
- *        16-19  perfect run-start    (eq & ~N runs >= generation cutoff,
- *        20-23  perfect run-end       parse_perfect_shiftxor.cpp:146-226)
+ *   bits  0- 9  q6 qualified bitmap, rows 0-9   (threshold-6 overlay
+ *        10-19  q7 qualified bitmap, rows 0-9    windows / threshold-7
+ *        20-29  perfect-match bitmap, rows 0-9   raw windows / eq & ~N)
  *
- * bit b of a field = the group's shift row b.  Flags are ~2% dense, so the
- * scan skips zero words (64-bit double-word test); set flags decode via
- * ctz loops.  Single pass: (start, end) pairs land in per-channel bucket
- * regions of the caller's i32 buffers (channel b's region is
- * [b*cap, b*cap + count_b)), giving channel-major output with no counting
- * pre-pass and no sort.  Start/end flags of one run pair positionally per
- * channel (equal counts by construction; run-end value is exclusive:
- * flag position + 1).  On overflow the scan keeps counting without
- * writing and returns the needed capacity (caller retries); returns -1 on
- * start/end pairing mismatch (malformed input); 0 on success.
- * counts[12]: per-channel event counts, layout [stream*4 + b] with
- * streams 0=q6, 1=q7, 2=perfect.
+ * Run starts/ends are TRANSITIONS between consecutive words: bit on at p
+ * and off at p-1 -> run start p; off at p and on at p-1 -> exclusive run
+ * end p (one implicit zero word closes open runs at p = L).  Any word
+ * equal to its predecessor carries no event, so the scan fast-forwards
+ * through both all-zero regions and the interiors of long qualified runs
+ * (two words at a time against the repeated previous word).
+ *
+ * Perfect runs are emitted only when their exact length >= cutoffs[row]
+ * (the generation cutoff 12-m for m<=6 else m,
+ * parse_perfect_shiftxor.cpp:146-226) -- applied here instead of in the
+ * kernel, which no longer pays saturating run-length chains.
+ *
+ * Single pass: (start, end) pairs land in per-channel bucket regions of
+ * the caller's i32 buffers (row r's region is [r*cap, r*cap + count_r)),
+ * channel-major with no counting pre-pass and no sort.  On overflow the
+ * scan keeps counting without writing and returns the needed capacity
+ * (caller retries); 0 on success.  counts[3*NROWS]: per-row event
+ * counts, layout [stream*NROWS + r], streams 0=q6, 1=q7, 2=perfect.
  */
 
 #include <stdint.h>
@@ -33,71 +38,99 @@ typedef int64_t i64;
 typedef uint32_t u32;
 typedef uint64_t u64;
 
-i64 ribbit_decode_flagwords(const i32 *w, i64 L,
-                            i64 bit_lo, i64 bit_hi, i64 cap,
-                            i32 *q6_s, i32 *q6_e, i32 *q7_s, i32 *q7_e,
-                            i32 *p_s, i32 *p_e, i64 *counts)
-{
-    u32 vmask = 0;
-    for (i64 b = bit_lo; b < bit_hi; b++) vmask |= 1u << b;
-    const u32 amask = vmask * 0x111111u;    /* all six fields */
+#define NROWS 10
 
-    /* per-channel cursors within the bucket regions */
-    i64 cs6[4], ce6[4], cs7[4], ce7[4], csp[4], cep[4];
-    for (int b = 0; b < 4; b++) {
-        cs6[b] = ce6[b] = cs7[b] = ce7[b] = csp[b] = cep[b] = (i64)b * cap;
+i64 ribbit_decode_bitmaps(const i32 *w, i64 L,
+                          i64 row_lo, i64 row_hi, const i64 *cutoffs,
+                          i64 cap,
+                          i32 *q6_s, i32 *q6_e, i32 *q7_s, i32 *q7_e,
+                          i32 *p_s, i32 *p_e, i64 *counts)
+{
+    u32 rows = 0;
+    for (i64 r = row_lo; r < row_hi; r++) rows |= 1u << r;
+    const u32 q6m = rows;
+    const u32 q7m = rows << NROWS;
+    const u32 pmm = rows << (2 * NROWS);
+    const u32 amask = q6m | q7m | pmm;
+
+    i64 cs6[NROWS], ce6[NROWS], cs7[NROWS], ce7[NROWS], cp[NROWS];
+    i64 open_p[NROWS];
+    for (int r = 0; r < NROWS; r++) {
+        cs6[r] = ce6[r] = cs7[r] = ce7[r] = cp[r] = (i64)r * cap;
+        open_p[r] = -1;
     }
     i64 over = 0;                            /* max overflow seen */
 
-#define EMIT(buf, cur, b, val) do {                                       \
-        i64 _k = (cur)[b]++;                                              \
-        if (_k < ((i64)(b) + 1) * cap) (buf)[_k] = (i32)(val);            \
-        else { i64 _need = (cur)[b] - (i64)(b) * cap;                     \
+#define EMIT(buf, cur, r, val) do {                                       \
+        i64 _k = (cur)[r]++;                                              \
+        if (_k < ((i64)(r) + 1) * cap) (buf)[_k] = (i32)(val);            \
+        else { i64 _need = (cur)[r] - (i64)(r) * cap;                     \
                if (_need > over) over = _need; }                          \
     } while (0)
 
+    u32 prev = 0;          /* masked previous word */
+    u32 raw_prev = 0;      /* unmasked, for the fast skip */
     i64 p = 0;
-    while (p < L) {
-        /* skip runs of zero words two at a time */
-        while (p + 2 <= L) {
-            u64 two;
-            memcpy(&two, w + p, 8);
-            if (two & ((u64)amask | ((u64)amask << 32))) break;
-            p += 2;
+    for (;;) {
+        if (p < L) {
+            /* fast-forward runs of words identical to the previous one
+             * (skipped words are transition-free by construction) */
+            u64 rep = ((u64)raw_prev << 32) | raw_prev;
+            while (p + 2 <= L) {
+                u64 two;
+                memcpy(&two, w + p, 8);
+                if (two != rep) break;
+                p += 2;
+            }
         }
-        if (p >= L) break;
-        u32 a = (u32)w[p] & amask;
-        if (a) {
-            u32 t = a & vmask;
+        u32 cur = 0;
+        if (p < L) {
+            raw_prev = (u32)w[p];
+            cur = raw_prev & amask;
+        }
+        /* p == L runs once with cur = 0: the implicit closing word */
+        u32 diff = cur ^ prev;
+        if (diff) {
+            u32 on = cur & diff, off = prev & diff;
+            u32 t = on & q6m;
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
                         EMIT(q6_s, cs6, b, p); }
-            t = (a >> 4) & vmask;
+            t = off & q6m;
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q6_e, ce6, b, p + 1); }
-            t = (a >> 8) & vmask;
+                        EMIT(q6_e, ce6, b, p); }
+            t = (on & q7m) >> NROWS;
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
                         EMIT(q7_s, cs7, b, p); }
-            t = (a >> 12) & vmask;
+            t = (off & q7m) >> NROWS;
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q7_e, ce7, b, p + 1); }
-            t = (a >> 16) & vmask;
+                        EMIT(q7_e, ce7, b, p); }
+            t = (on & pmm) >> (2 * NROWS);
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(p_s, csp, b, p); }
-            t = (a >> 20) & vmask;
+                        open_p[b] = p; }
+            t = (off & pmm) >> (2 * NROWS);
             while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(p_e, cep, b, p + 1); }
+                        i64 s = open_p[b];
+                        if (s >= 0 && p - s >= cutoffs[b]) {
+                            EMIT(p_s, cp, b, s);
+                            /* p_e shares cp: pairs are emitted together */
+                            i64 _k = cp[b] - 1;
+                            if (_k < ((i64)b + 1) * cap) p_e[_k] = (i32)p;
+                        }
+                        open_p[b] = -1; }
+            prev = cur;
         }
+        if (p >= L) break;
         p++;
     }
 #undef EMIT
 
     if (over) return over;
-    for (int b = 0; b < 4; b++) {
-        if (cs6[b] != ce6[b] || cs7[b] != ce7[b] || csp[b] != cep[b])
+    for (int r = 0; r < NROWS; r++) {
+        if (cs6[r] != ce6[r] || cs7[r] != ce7[r])
             return -1;
-        counts[0 * 4 + b] = cs6[b] - (i64)b * cap;
-        counts[1 * 4 + b] = cs7[b] - (i64)b * cap;
-        counts[2 * 4 + b] = csp[b] - (i64)b * cap;
+        counts[0 * NROWS + r] = cs6[r] - (i64)r * cap;
+        counts[1 * NROWS + r] = cs7[r] - (i64)r * cap;
+        counts[2 * NROWS + r] = cp[r] - (i64)r * cap;
     }
     return 0;
 }

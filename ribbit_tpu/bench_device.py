@@ -14,7 +14,7 @@ are true per-chip kernel throughput even over the slow axon tunnel
   bench_align : align_pallas batched SSW forward scoring (replacing
                 ssw.c:197-386) -> pairs/s and GCUPS
 
-Methodology (two hard-won rules):
+Methodology (three hard-won rules):
   1. The axon backend's block_until_ready can return before remote
      execution completes, so every measurement jits a fused computation
      returning one scalar whose host fetch forces real completion.
@@ -26,6 +26,14 @@ Methodology (two hard-won rules):
      inputs at K=8), which let CSE collapse half the dispatches and
      inflate every reported number ~2x (caught round 5: an 8-call sweep
      with 4 distinct inputs cost the same wall clock as a 4-call sweep).
+  3. Consume EVERY pallas call's output with a full reduce.  Slicing one
+     plane out of a concatenated multi-call result lets XLA's
+     slice-of-concat simplification DCE every other call: caught late
+     round 5, the 26-call scan sweep compiled to ONE surviving
+     custom-call and the "2.05 Gbp/s" scan / "1.45 Gbp/s" event numbers
+     reported in rounds 4-5 were single-call rates, ~26x/11x inflated
+     (real: ~56 / ~130 Mbp/s).  _assert_no_dce pins the surviving
+     custom-call count on every bench run.
 """
 
 from __future__ import annotations
@@ -37,6 +45,19 @@ import jax.numpy as jnp
 
 
 K1, K2 = 4, 12
+
+
+def _assert_no_dce(sweep_fn, arg, min_calls: int):
+    """Fail loudly if the compiled sweep retains fewer pallas custom-calls
+    than the kernel launches (the rule-3 DCE trap).  Mosaic lowers each
+    pallas call to >= 1 "custom-call" line in compiled HLO text."""
+    txt = jax.jit(sweep_fn).lower(arg).compile().as_text()
+    n = txt.count("custom-call")
+    if n < min_calls:
+        raise RuntimeError(
+            f"bench DCE guard: only {n} custom-calls survive compilation "
+            f"(expected >= {min_calls}) — a slice is letting XLA drop "
+            "kernel calls; the reported rate would be inflated")
 
 
 def _marginal(make_sweep, arg, reps: int = 2, passes: int = 5):
@@ -106,10 +127,17 @@ def bench_scan(cfg=None, L: int = 8 << 20, reps: int = 2) -> dict:
                                     nsp=nsp, min_shift=cfg.min_shift,
                                     max_shift=cfg.max_shift,
                                     interpret=False)
-                acc = acc + outs[0][0, :128].astype(jnp.int32).sum()
+                # consume EVERY output fully: slicing one plane/row lets
+                # XLA's slice-of-concat simplification DCE all the other
+                # pallas calls (caught round 5: 26-call sweeps compiled to
+                # ONE surviving custom-call, inflating the reported rate
+                # ~26x); the full reduce adds only ~1% HBM traffic
+                acc = acc + sum(o.astype(jnp.int32).sum() for o in outs)
             return acc
         return sweep
 
+    ncalls = (nsp + v2.OUT_ROWS - 1) // v2.OUT_ROWS
+    _assert_no_dce(make_sweep(K1), comb, K1 * ncalls)
     per_call, ta, tb, compile_s = _marginal(make_sweep, comb, reps)
     return {"tpu_scan_mbps": round(L / 1e6 / per_call, 2),
             "tpu_scan_channels": cfg.max_motif - cfg.min_motif + 1,
@@ -141,23 +169,27 @@ def bench_events(cfg=None, L: int = 8 << 20, reps: int = 2) -> dict:
         def sweep(comb):
             acc = jnp.int32(0)
             for k in range(K):
-                # distinct per-call input (see bench_scan's note)
+                # distinct per-call input (see bench_scan's note); full
+                # reduce so no plane's call can be DCE'd (see bench_scan)
                 w = ev._scan_all(comb ^ k, L=jnp.int32(L - k),
                                  nsp=nsp, min_shift=cfg.min_shift,
                                  max_shift=cfg.max_shift, interpret=False)
-                acc = acc + w[0, :128].sum()
+                acc = acc + w.sum()
             return acc
         return sweep
 
+    ncalls = (nsp + ev.OUT_ROWS - 1) // ev.OUT_ROWS
+    _assert_no_dce(make_sweep(K1), comb, K1 * ncalls)
     per_call, *_ = _marginal(make_sweep, comb, reps)
     return {"tpu_event_mbps": round(L / 1e6 / per_call, 2)}
 
 
 def bench_event_decode(cfg=None, L: int = 1 << 22) -> dict:
-    """Host-side flagword decode throughput (the C ctz decoder), Mbp/s on
-    this host.  Runs on synthetic flagwords at chromosome-fixture event
-    density (~2.1 q6 + 0.05 q7 + 0.001 perfect events/bp); part of the
-    PCIe e2e model in BASELINE.md, not a device number."""
+    """Host-side bitmap decode throughput (the C transition decoder),
+    Mbp/s on this host.  Runs on synthetic bitmap planes at
+    chromosome-fixture run density (~0.0052 q6 + 0.00013 q7 runs/bp per
+    row, mean run length ~60 bp); part of the PCIe e2e model in
+    BASELINE.md, not a device number."""
     import numpy as np
     from .scan_pallas_v2 import _nsp_of
     from . import scan_events_pallas as ev
@@ -165,19 +197,28 @@ def bench_event_decode(cfg=None, L: int = 1 << 22) -> dict:
         from .config import RibbitConfig
         cfg = RibbitConfig.create()
     nsp = _nsp_of(cfg)
-    ngroups = (nsp + 3) // 4
+    ngroups = (nsp + ev.OUT_ROWS - 1) // ev.OUT_ROWS
     rng = np.random.default_rng(0)
     w = np.zeros((ngroups, L), dtype=np.uint32)
-    # paired start/end flags per channel row at realistic densities
-    for dens, b_s, b_e in ((0.0052, 0, 4), (0.00013, 8, 12)):
-        # per-row start density = stream density / nmotifs
+    # non-touching runs per row: sorted distinct positions alternate
+    # start/exclusive-end; run length distribution comes from pairing
+    # adjacent order statistics (mean ~ L / (2n) capped by MEANLEN below)
+    for dens, field in ((0.0052, 0), (0.00013, 1)):
         n = int(dens * L)
+        MEANLEN = 60
         for g in range(ngroups):
-            for b in range(4):
-                pos = np.sort(rng.choice(L, size=2 * n, replace=False))
-                s, e = pos[0::2], pos[1::2]
-                w[g, s] |= np.uint32(1 << (b_s + b))
-                w[g, e] |= np.uint32(1 << (b_e + b))
+            for r in range(ev.OUT_ROWS):
+                s = np.sort(rng.choice(L - MEANLEN * 2, size=n,
+                                       replace=False))
+                ln = rng.geometric(1.0 / MEANLEN, size=n)
+                e = np.minimum(s + ln, np.concatenate([s[1:], [L]]))
+                e = np.maximum(e, s + 1)
+                delta = np.zeros(L + 1, dtype=np.int32)
+                np.add.at(delta, s, 1)
+                np.add.at(delta, e, -1)
+                bm = np.cumsum(delta[:L]) > 0
+                w[g] |= (bm.astype(np.uint32)
+                         << np.uint32(ev._bit_of(r, field)))
     w = w.view(np.int32)
     ev._decode_c(w, cfg)                   # warm: lib load + thread pool
     best = float("inf")

@@ -45,11 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minimum repeat units: integer or TSV")
     p.add_argument("--perfect-units", default=None,
                    help="minimum perfect units: integer or TSV")
-    p.add_argument("--backend", choices=["host", "tpu"], default="host",
-                   help="compute backend (default host). 'tpu' runs the "
-                        "device event-extraction scan AND device-batched "
-                        "alignment refinement through the JAX/Pallas "
-                        "kernels; output stays byte-identical")
+    p.add_argument("--backend", choices=["auto", "host", "tpu"],
+                   default="auto",
+                   help="compute backend (default auto: 'tpu' when a "
+                        "TPU-class accelerator with adequate link bandwidth "
+                        "is attached, else 'host'; see ribbit_tpu.backend). "
+                        "'tpu' runs the device event-extraction scan AND "
+                        "device-batched alignment refinement through the "
+                        "JAX/Pallas kernels; output stays byte-identical")
     p.add_argument("--stderr-output", action="store_true",
                    help="mirror the reference quirk of writing results to "
                         "stderr when no -o is given")
@@ -115,7 +118,12 @@ def main(argv=None) -> int:
             print("ribbit-tpu: --resume is not supported with --coordinator",
                   file=sys.stderr)
             return 2
+        # NOTE: no backend probe before this point — jax.distributed
+        # .initialize must precede any XLA-initializing call
         return _main_multihost(args, cfg)
+
+    from .backend import resolve_backend
+    args.backend = resolve_backend(args.backend)
 
     # resume manifest must be consulted BEFORE the output file is opened
     # (mode "w" would truncate the partial results being resumed)

@@ -83,9 +83,9 @@ def get_events_lib():
         return None
     P32 = ctypes.POINTER(ctypes.c_int32)
     P64 = ctypes.POINTER(ctypes.c_int64)
-    base.ribbit_decode_flagwords.restype = ctypes.c_int64
-    base.ribbit_decode_flagwords.argtypes = [
-        P32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    base.ribbit_decode_bitmaps.restype = ctypes.c_int64
+    base.ribbit_decode_bitmaps.argtypes = [
+        P32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, P64,
         ctypes.c_int64, P32, P32, P32, P32, P32, P32, P64,
     ]
     _events_lib = base

@@ -11,28 +11,35 @@ element-serial), so this module changes the representation instead:
   - the kernel (same body as scan_pallas_v4: manual-DMA row-split sweep,
     fasta_utils.cpp:120-161, parse_anchored_shiftxor.cpp:20-56,
     parse_substitute_shiftxor.cpp:391-577, parse_perfect_shiftxor.cpp:146-226)
-    computes six per-position event FLAGS instead of dense masks:
-      q6 run starts/ends   (threshold-6 overlay windows; the anchored scan)
-      q7 run starts/ends   (threshold-7 raw windows; the substitution scan)
-      perfect run starts/ends, filtered by the per-channel generation
-      cutoff (12-m if m<=6 else m) via saturating run-length doubling
-  - each call covers 4 shift rows (OUT_ROWS=4, the v4 sweep optimum) and
-    packs the six flags of its 4 rows into ONE int32 "flagword" per
-    position (a weighted sublane reduction -- no sublane slicing):
-      bits 0-3 q6start, 4-7 q6end, 8-11 q7start, 12-15 q7end,
-      16-19 perfect-start, 20-23 perfect-end
-    Output volume is 4 B/bp/call * 26 calls = 104 B/bp, 4x below v4's
-    dense planes, and flags are ~2% dense so the host decode skips most
-    words.
-  - the host converts flagwords into the exact event streams
-    (scan_events_tpu contract) with a threaded C ctz-loop decoder
-    (csrc/ribbit_events.c), ~4.3 flags/bp at ~8 ops/flag.
+    computes three per-position qualified BITMAPS instead of dense masks
+    or start/end flags:
+      q6 = threshold-6 overlay windows qualified (the anchored scan)
+      q7 = threshold-7 raw windows qualified (the substitution scan)
+      pm = eq & ~N (perfect-match positions)
+  - each call covers 10 shift rows (OUT_ROWS=10; 3 bitmap fields x 10
+    rows = 30 bits) packed with a UNIFORM field stride via one weighted
+    sublane reduction (weight 1 << d, no sublane slicing):
+      bits 0-9 q6 rows 0-9, 10-19 q7 rows 0-9, 20-29 pm rows 0-9
+    Output volume is 4 B/bp * 11 planes = 44 B/bp -- 2.4x below the old
+    six-flag format's 104 B/bp (the round-4 VERDICT asked for half) and
+    9x below v4's dense planes; the read side drops the same way (one
+    combined-stream DMA per 10 rows instead of per 4), cutting total
+    kernel HBM from ~213 to ~90 B/bp and the row-compute from 26x8 to
+    11x16 sublane rows.
+  - the host derives run starts/ends from bitmap TRANSITIONS
+    (w[p] & ~w[p-1] / w[p-1] & ~w[p]) with a threaded C decoder
+    (csrc/ribbit_events.c): any word equal to its predecessor is skipped,
+    which fast-forwards through all-zero regions AND through the inside
+    of long qualified runs.  The perfect generation cutoff (12-m if m<=6
+    else m, parse_perfect_shiftxor.cpp:146-226) is applied host-side on
+    the exact run length, replacing the kernel's old saturating
+    run-length-doubling chains (two 7-step rolls the kernel no longer
+    pays for).
 
-Flag semantics are derived from the same EXT-window values as the proven
-v4 masks (tests/test_pallas.py lineage), shifted by +-1 lane for the
-start/end tests; equality of the decoded streams with scan_events_tpu is
-tested in interpret mode (tests/test_events_pallas.py) and the BED parity
-chain runs through the native core replay.
+Bitmap semantics are exactly the v4-lineage window/overlay values
+(tests/test_pallas.py); equality of the decoded streams with
+scan_events_tpu is tested in interpret mode (tests/test_events_pallas.py)
+and the BED parity chain runs through the native core replay.
 """
 
 from __future__ import annotations
@@ -49,30 +56,22 @@ from .config import RibbitConfig, ANCHOR_SIZE
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
                              _trail_ones, _lead_ones, _nsp_of)
 
-TILE = 20480
+TILE = 24576         # 16-row-body sweep optimum (12288..32768 all within
+                     # ~5%; VMEM holds to 32768)
 RPAD = 768           # right context: max_shift + EXT overhang
 EXT = LPAD + TILE + CAP + 128
 CHUNK = LPAD + TILE + RPAD
-OUT_ROWS = 4         # one packed 4-row group per call
+OUT_ROWS = 10        # one packed 10-row word per call (3 x 10-bit fields)
 HALO_R = 2           # overlay needs anchors of rows r-2..r+2
 
 
-def _trail_ones7(t, nrows, width):
-    """min(128, consecutive 1s ending at p): 7 doubling steps suffice when
-    the count is only compared against thresholds <= 128 (perfect cutoffs
-    max at 100)."""
-    for j in range(7):
-        step = 1 << j
-        t = t + jnp.where(t == step, pltpu.roll(t, step, 1), 0)
-    return t
-
-
 def _weights(rb: int, out_lo: int, bit0: int) -> jnp.ndarray:
-    """[rb, 1] int32 column: 1 << (bit0 + r - out_lo) for output rows,
-    0 for halo rows.  Built from an iota inside the kernel trace (pallas
-    kernels cannot capture materialized constants)."""
+    """[rb, 1] int32 column: output row d = r - out_lo gets weight
+    1 << (bit0 + d) (uniform stride: fields are pre-shifted by multiples
+    of OUT_ROWS); halo rows get 0.  Built from an iota inside the kernel
+    trace (pallas kernels cannot capture materialized constants)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    sh = jnp.clip(r - out_lo + bit0, 0, 31)
+    sh = jnp.clip(bit0 + r - out_lo, 0, 31)
     inside = (r >= out_lo) & (r < out_lo + OUT_ROWS)
     return jnp.where(inside, jnp.left_shift(jnp.int32(1), sh), 0)
 
@@ -144,34 +143,22 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
         ok = (rr + d >= 0) & (rr + d < NS)
         ov = ov | (rolled * ok)
 
-    # N-free windows over the full EXT width (flags need lanes LPAD-1 and
-    # LPAD+TILE, one beyond the output slice on each side)
+    # N-free windows over the full EXT width
     nfree = _win8(nmv[:, :EXT], 1, EXT) == 0
 
     q7f = ((_win8(eq, rb, EXT) >= 7) & nfree).astype(jnp.int32)
     q6f = ((_win8(ov, rb, EXT) >= 6) & nfree).astype(jnp.int32)
 
     pm = eq * (nmv[:, :EXT] == 0)
-    lead_pm = _lead_ones(pm, rb, EXT, steps=7)        # saturates at 128
-    trail_pm = _trail_ones7(pm, rb, EXT)              # saturates at 128
-    m_row = _row_iota(rb, TILE) + row0 + min_shift
-    cutoff = jnp.where(m_row <= 6, 12 - m_row, m_row)  # gen cutoff <= 100
 
+    # pack the three bitmaps per (row, lane) with constant field shifts
+    # (stride OUT_ROWS), then one weighted sublane reduction (weight =
+    # 1 << (r - out_lo) on output rows): row d lands q6 at bit d, q7 at
+    # OUT_ROWS+d, pm at 2*OUT_ROWS+d.  Run starts/ends and the perfect
+    # cutoff filter moved to the host decoder (module docstring).
     sl = slice(LPAD, LPAD + TILE)
-    slm = slice(LPAD - 1, LPAD + TILE - 1)
-    slp = slice(LPAD + 1, LPAD + TILE + 1)
-
-    q6s = q6f[:, sl] * (1 - q6f[:, slm])
-    q6e = q6f[:, sl] * (1 - q6f[:, slp])
-    q7s = q7f[:, sl] * (1 - q7f[:, slm])
-    q7e = q7f[:, sl] * (1 - q7f[:, slp])
-    ps = pm[:, sl] * (1 - pm[:, slm]) * (lead_pm[:, sl] >= cutoff)
-    pe = pm[:, sl] * (1 - pm[:, slp]) * (trail_pm[:, sl] >= cutoff)
-
-    # combine the six fields per (row, lane) with constant shifts, then one
-    # weighted sublane reduction (weight = 1 << (r - out_lo) on output rows)
-    combined = (q6s + (q6e << 4) + (q7s << 8) + (q7e << 12)
-                + (ps << 16) + (pe << 20))
+    combined = (q6f[:, sl] + (q7f[:, sl] << OUT_ROWS)
+                + (pm[:, sl] << (2 * OUT_ROWS)))
     w_ref[:, :] = (combined * _weights(rb, out_lo, 0)).sum(
         axis=0, keepdims=True)
 
@@ -204,8 +191,8 @@ def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
 
 
 def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
-    """ceil(nsp/4) calls of one packed 4-row group each -> one
-    [ngroups, Lp] int32 flagword plane."""
+    """ceil(nsp/OUT_ROWS) calls of one packed group each -> one
+    [ngroups, Lp] int32 bitmap-word plane (OUT_ROWS shift rows/word)."""
     ws = []
     ngroups = (nsp + OUT_ROWS - 1) // OUT_ROWS
     for h in range(ngroups):
@@ -235,11 +222,11 @@ def _pad_inputs(code: np.ndarray, n_mask: np.ndarray):
 
 def flagwords_pallas(code: np.ndarray, n_mask: np.ndarray,
                      cfg: RibbitConfig, interpret: bool = False):
-    """Device flagword planes for one sequence.
+    """Device bitmap-word planes for one sequence.
 
-    Returns int32 [ngroups, L] where group h covers shift rows [4h, 4h+4)
-    (shift = min_shift + row) and the bit layout is the module
-    docstring's."""
+    Returns int32 [nplanes, L] where plane j covers shift rows
+    [OUT_ROWS*j, OUT_ROWS*(j+1)) (shift = min_shift + row) and the bit
+    layout is the module docstring's."""
     L = code.shape[0]
     comb_p = _pad_inputs(code, n_mask)
     nsp = _nsp_of(cfg)
@@ -253,27 +240,42 @@ def flagwords_pallas(code: np.ndarray, n_mask: np.ndarray,
 # Flagword decoding (host): numpy reference + threaded C production decoder
 # ---------------------------------------------------------------------------
 
+def _bit_of(row: int, field: int) -> int:
+    """Bit position of `field` (0=q6, 1=q7, 2=pm) for word row `row`
+    (0..OUT_ROWS-1): uniform field stride OUT_ROWS."""
+    return OUT_ROWS * field + row
+
+
 def _decode_numpy(w: np.ndarray, cfg: RibbitConfig):
-    """Reference decoder: flagword plane -> the three event streams in the
-    scan_events_tpu contract ((starts, ends, offsets) per stream,
-    channel-major).  Vectorized numpy; the production path uses the C
-    decoder in csrc/ribbit_events.c (same contract, differential-tested)."""
+    """Reference decoder: bitmap-word planes -> the three event streams in
+    the scan_events_tpu contract ((starts, ends, offsets) per stream,
+    channel-major).  Run starts/ends come from bitmap transitions; the
+    perfect generation cutoff is applied on the exact run length.
+    Vectorized numpy; the production path uses the C decoder in
+    csrc/ribbit_events.c (same contract, differential-tested)."""
     uw = w.view(np.uint32)
     nm = cfg.nmotifs
     r0 = cfg.min_motif - cfg.min_shift
     streams = []
-    for b_s, b_e in ((0, 4), (8, 12), (16, 20)):
+    for field in (0, 1, 2):                 # q6, q7, pm
         starts: list = []
         ends: list = []
         offs = [0]
         for didx in range(nm):
             row = r0 + didx
-            g, bit = divmod(row, 4)
-            s_pos = np.flatnonzero((uw[g] >> np.uint32(b_s + bit)) & 1)
-            e_pos = np.flatnonzero((uw[g] >> np.uint32(b_e + bit)) & 1)
-            assert s_pos.shape == e_pos.shape
-            starts.append(s_pos.astype(np.int64))
-            ends.append(e_pos.astype(np.int64) + 1)
+            g, bit = divmod(row, OUT_ROWS)
+            bm = ((uw[g] >> np.uint32(_bit_of(bit, field))) & 1).astype(
+                np.int8)
+            d = np.diff(bm, prepend=np.int8(0), append=np.int8(0))
+            s_pos = np.flatnonzero(d == 1).astype(np.int64)
+            e_pos = np.flatnonzero(d == -1).astype(np.int64)
+            if field == 2:                  # perfect: length >= cutoff
+                m = cfg.min_shift + row
+                cutoff = 12 - m if m <= 6 else m
+                keep = (e_pos - s_pos) >= cutoff
+                s_pos, e_pos = s_pos[keep], e_pos[keep]
+            starts.append(s_pos)
+            ends.append(e_pos)
             offs.append(offs[-1] + s_pos.shape[0])
         streams.append((np.concatenate(starts) if starts else
                         np.zeros(0, np.int64),
@@ -302,29 +304,37 @@ def _decode_c(w: np.ndarray, cfg: RibbitConfig):
     P32 = ctypes.POINTER(ctypes.c_int32)
     P64 = ctypes.POINTER(ctypes.c_int64)
 
+    OR = OUT_ROWS
+
     def one_group(g):
-        # channels this group contributes (global rows 4g..4g+4)
-        lo_row = max(4 * g, r0)
-        hi_row = min(4 * g + 4, r0 + nm)
+        # channels this plane contributes (global rows OR*g..OR*(g+1))
+        lo_row = max(OR * g, r0)
+        hi_row = min(OR * g + OR, r0 + nm)
         if lo_row >= hi_row:
             return None
+        # perfect generation cutoffs by word row (12-m if m<=6 else m;
+        # parse_perfect_shiftxor.cpp:146-226), applied by the C decoder on
+        # the exact run length
+        mrow = cfg.min_shift + OR * g + np.arange(OR, dtype=np.int64)
+        cutoffs = np.where(mrow <= 6, 12 - mrow, mrow)
         # per-channel bucket capacity: measured densities are < L/190
         # starts per channel even on the repeat-dense chromosome fixture;
-        # L/64 keeps the allocation churn ~25 MB/call instead of 650 MB
-        # (which made decode throughput swing 5x call-to-call), and the
-        # retry loop grows past the reported need on overflow
+        # L/64 keeps the allocation churn low (big caps made decode
+        # throughput swing 5x call-to-call), and the retry loop grows
+        # past the reported need on overflow
         cap = max(1 << 12, L // 64)
         while True:
-            bufs = [np.empty(4 * cap, dtype=np.int32) for _ in range(6)]
-            cnt = np.zeros(12, dtype=np.int64)
-            rc = lib.ribbit_decode_flagwords(
-                w[g].ctypes.data_as(P32), L, lo_row - 4 * g, hi_row - 4 * g,
-                cap, *(b.ctypes.data_as(P32) for b in bufs),
+            bufs = [np.empty(OR * cap, dtype=np.int32) for _ in range(6)]
+            cnt = np.zeros(3 * OR, dtype=np.int64)
+            rc = lib.ribbit_decode_bitmaps(
+                w[g].ctypes.data_as(P32), L, lo_row - OR * g,
+                hi_row - OR * g, cutoffs.ctypes.data_as(P64), cap,
+                *(b.ctypes.data_as(P32) for b in bufs),
                 cnt.ctypes.data_as(P64))
             if rc == 0:
-                return bufs, cnt, cap, lo_row - 4 * g, hi_row - 4 * g
+                return bufs, cnt, cap, lo_row - OR * g, hi_row - OR * g
             if rc < 0:
-                raise RuntimeError("flagword decode: unpaired run flags")
+                raise RuntimeError("bitmap decode: malformed plane")
             cap = int(rc + (rc >> 2))  # grow past the reported need
 
     with ThreadPoolExecutor(max_workers=min(8, ngroups)) as ex:
@@ -338,7 +348,7 @@ def _decode_c(w: np.ndarray, cfg: RibbitConfig):
                 continue
             bufs, cnt, cap, b_lo, b_hi = res
             for b in range(b_lo, b_hi):
-                n = int(cnt[4 * k + b])
+                n = int(cnt[OUT_ROWS * k + b])
                 ss.append(bufs[2 * k][b * cap:b * cap + n])
                 es.append(bufs[2 * k + 1][b * cap:b * cap + n])
                 per_ch.append(n)
@@ -356,7 +366,7 @@ def _decode_c(w: np.ndarray, cfg: RibbitConfig):
 
 def scan_events_device(code: np.ndarray, n_mask: np.ndarray,
                        cfg: RibbitConfig, interpret: bool = False):
-    """Production device event extraction: Pallas flagword kernel + C
-    decode.  Same contract as scan_events_tpu.scan_events."""
+    """Production device event extraction: Pallas bitmap kernel + C
+    transition decode.  Same contract as scan_events_tpu.scan_events."""
     w = flagwords_pallas(code, n_mask, cfg, interpret=interpret)
     return _decode_c(w, cfg)

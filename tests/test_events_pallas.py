@@ -79,30 +79,58 @@ def test_flagword_bed_parity(cpu_jax, small_tile, golden_dir):
 
 
 def test_c_decoder_fuzz_and_cap_retry(cpu_jax):
-    """Synthetic flagword planes at adversarial densities: the C decoder
-    must match the numpy spec, including when a channel's event count
-    overflows the initial bucket capacity (cap=4096 at small L) and the
-    grow-and-retry path fires."""
+    """Synthetic bitmap planes at adversarial densities: the C decoder
+    must match the numpy spec, including when a row's run count overflows
+    the initial bucket capacity (cap=4096 at small L) and the
+    grow-and-retry path fires.  Covers runs open at the plane end (closed
+    by the implicit zero word), perfect runs straddling the length
+    cutoff, and long constant regions exercising the fast-skip."""
     import numpy as np
     from ribbit_tpu.config import RibbitConfig
-    from ribbit_tpu.scan_events_pallas import _decode_c, _decode_numpy
+    from ribbit_tpu.scan_events_pallas import _bit_of, _decode_c, \
+        _decode_numpy
+
+    from ribbit_tpu.scan_events_pallas import OUT_ROWS
 
     cfg = RibbitConfig.create()
     nsp = ((cfg.max_shift - cfg.min_shift + 1) + 7) & ~7
-    ngroups = (nsp + 3) // 4
+    nplanes = (nsp + OUT_ROWS - 1) // OUT_ROWS
     rng = np.random.default_rng(0)
     L = 16384                               # initial cap = 4096 buckets
 
+    def runs_bitmap(n, long_runs=False):
+        """Bitmap with exactly n non-touching runs (sorted distinct
+        positions alternate start/exclusive-end, so gaps are >= 1)."""
+        if n == 0:
+            return np.zeros(L, dtype=bool)
+        pos = np.sort(rng.choice(L, 2 * n, replace=False))
+        if long_runs:     # stretch each run to its successor - 1
+            pos[1::2] = np.concatenate([pos[2::2] - 1, [L]])
+        delta = np.zeros(L + 1, dtype=np.int32)
+        np.add.at(delta, pos[0::2], 1)
+        np.add.at(delta, pos[1::2], -1)
+        return np.cumsum(delta[:L]) > 0
+
     for trial, nevents in enumerate((8, 700, 6000)):  # 6000 > 4096: retry
-        w = np.zeros((ngroups, L), dtype=np.uint32)
-        for g in range(min(ngroups, 5)):
-            for b in range(4):
-                for b_s, b_e in ((0, 4), (8, 12), (16, 20)):
-                    n = nevents if (g, b, b_s) == (1, 2, 0) else \
+        w = np.zeros((nplanes, L), dtype=np.uint32)
+        for g in range(min(nplanes, 4)):
+            for r in range(OUT_ROWS):
+                for field in range(3):
+                    n = nevents if (g, r, field) == (1, 2, 0) else \
                         int(rng.integers(0, 30))
-                    pos = np.sort(rng.choice(L, 2 * n, replace=False))
-                    w[g, pos[0::2]] |= np.uint32(1 << (b_s + b))
-                    w[g, pos[1::2]] |= np.uint32(1 << (b_e + b))
+                    bm = runs_bitmap(n, long_runs=(g, field) == (2, 0))
+                    if (g, r, field) == (0, 1, 1):
+                        bm[L - 5:] = True   # run open at the plane end
+                    if field == 2 and r == 3:
+                        # perfect runs hugging the cutoff on both sides
+                        bm[:] = False
+                        m = cfg.min_shift + OUT_ROWS * g + r
+                        cut = 12 - m if m <= 6 else m
+                        bm[100:100 + cut] = True          # exactly cutoff
+                        bm[300:300 + max(cut - 1, 1)] = True  # below
+                        bm[500:500 + cut + 3] = True      # above
+                    w[g] |= (bm.astype(np.uint32) << np.uint32(
+                        _bit_of(r, field)))
         wi = w.view(np.int32)
         got = _decode_c(wi, cfg)
         want = _decode_numpy(wi, cfg)
