@@ -14,17 +14,16 @@ the denominator here is MEASURED on the same chip + Mosaic toolchain:
                  the scan kernels' utilization is reported against the
                  HBM roofline instead, where the byte counts are exact.)
 
-For the scan kernels the honest utilization number is the HBM roofline
-fraction: the bytes moved per bp are EXACT from the kernel geometry
-(ONE combined code+mask int32 stream DMA'd once per 4-row call x 26
-calls; v4 writes 4 int8 planes, events 1 int32 flagword), whereas a
-hand op-count of the kernel body is
-demonstrably untrustworthy — a careful static count (~160 element-ops
-per row-position) implies an element rate far above the measured ALU
-ceiling, i.e. Mosaic's scheduling/fusion defeats naive op accounting.
-For align the DP-cell op count IS solid (25 element-ops per cell: F 3,
-score 3, diag 2, H 5, E 5, freezes 4, colmax 3 — a plain elementwise
-chain), so align reports a real compute MFU vs the measured ALU ceiling.
+Both scan-family kernels are ALU-bound (round-6 finding, after the DCE
+bench correction): their HBM fractions (~7% scan, ~1.4% events, exact
+byte counts from kernel geometry) are reported for completeness, and
+their measured rates are consistent with ~180-340 element-ops per
+row-position at the measured ceiling — a hand op-count of those bodies
+is untrustworthy (Mosaic scheduling defeats naive accounting), so no
+compute-MFU is claimed for them.  For align the DP-cell op count IS
+solid (25 element-ops per cell: F 3, score 3, diag 2, H 5, E 5,
+freezes 4, colmax 3 — a plain elementwise chain), so align reports a
+real compute MFU vs the measured ALU ceiling.
 """
 
 from __future__ import annotations
@@ -36,8 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS, W = 8, 256 * 128      # (8, 32k) int32 = 1 MB/value: fits scoped VMEM
-                            # with the loop carries (512*128 overflowed)
+ROWS, W = 8, 128 * 128      # (8, 16k) int32 = 0.5 MB/value: the measured
+                            # optimum — 4.39 T vs 4.11 T at 32k-wide and
+                            # VMEM-OOM at 512*128 (the 16 MB scoped limit);
+                            # a CEILING must be the max achievable, so the
+                            # best-scheduling geometry is the honest
+                            # denominator (r5's 32k-wide micro read ~3.95 T
+                            # and pushed align MFU above 1.0)
 OPS = 256            # element-ops per element per unrolled block
 TRIPS = 256          # fori_loop trips around the block: OPS*TRIPS (~17 G
                      # element-ops per pass) so the marginal time
@@ -111,13 +115,16 @@ def roofline_mfu(kern: dict) -> dict:
 
     ncalls = (nsp + v4.OUT_ROWS - 1) // v4.OUT_ROWS
     if "tpu_scan_mbps" in kern:
-        # HBM: combined int32 stream read + 4 int8 plane writes per call
-        bytes_bp = ncalls * (4 * (v4.CHUNK / v4.TILE) + 4)
+        # HBM per call: combined int32 stream read + FOUR int8 [rb, TILE]
+        # plane writes (rb = 8 rows incl. halo; r5 undercounted this as
+        # 4 B).  Both scan-family kernels are ALU-bound — the fraction is
+        # reported for completeness, not as the utilization story.
+        bytes_bp = ncalls * (4 * (v4.CHUNK / v4.TILE) + 4 * 8)
         out["tpu_scan_hbm_frac"] = round(
             kern["tpu_scan_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)
     if "tpu_event_mbps" in kern:
         nc_ev = (nsp + ev.OUT_ROWS - 1) // ev.OUT_ROWS
-        # combined int32 read; ONE int32 flagword plane per 4-row call
+        # combined int32 read; ONE int32 bitmap-word plane per call
         bytes_bp = nc_ev * (4 * (ev.CHUNK / ev.TILE) + 4)
         out["tpu_event_hbm_frac"] = round(
             kern["tpu_event_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)

@@ -77,9 +77,13 @@ def _weights(rb: int, out_lo: int, bit0: int) -> jnp.ndarray:
 
 
 def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
-            sems, *, rb, row0, out_lo, min_shift, max_shift):
-    """One 4-row output group (global shift rows [row0+out_lo,
-    row0+out_lo+4)) of the flagword plane for one TILE of positions."""
+            sems, *, rb, row0, out_lo, min_shift, max_shift, lsteps):
+    """One OUT_ROWS output group (global shift rows [row0+out_lo,
+    row0+out_lo+OUT_ROWS)) of the bitmap-word plane for one TILE of
+    positions.  `lsteps` bounds the anchor run-length ladders per group:
+    counts are exact up to 2**lsteps >= 2*s_max(group), which decides
+    rlen < 2s exactly (a saturated count implies rlen >= 2*s_max >= 2s ->
+    non-anchor either way); low shift groups save ladder steps."""
     L = L_ref[0, 0]
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -129,8 +133,8 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
     # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
     hi = L - row_s
     b = eq * (pos < hi)
-    trail = _trail_ones(b, rb, EXT)
-    lead = _lead_ones(b, rb, EXT)
+    trail = _trail_ones(b, rb, EXT, steps=lsteps)
+    lead = _lead_ones(b, rb, EXT, steps=lsteps)
     rlen = trail + lead - 1
     run_end = pos + lead
     anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
@@ -165,16 +169,17 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
 
 @functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
                                              "min_shift", "max_shift",
-                                             "interpret"))
+                                             "lsteps", "interpret"))
 def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
-               max_shift, interpret):
+               max_shift, lsteps, interpret):
     Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = jax.ShapeDtypeStruct((1, Lp), jnp.int32)
     out_specs = pl.BlockSpec((1, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
-                               min_shift=min_shift, max_shift=max_shift)
+                               min_shift=min_shift, max_shift=max_shift,
+                               lsteps=lsteps)
     L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
@@ -201,9 +206,14 @@ def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
         out_lo = glo - row0
         rb = out_lo + OUT_ROWS + HALO_R
         rb = (rb + 7) & ~7
+        # anchor ladders only need exactness up to 2*s_max of the rows
+        # this call computes (see _kernel docstring)
+        s_max = min(min_shift + row0 + rb - 1, max_shift)
+        lsteps = max(3, (2 * s_max - 1).bit_length())
         w = _scan_rows(comb2d, L, rb=rb, row0=row0,
                        out_lo=out_lo, min_shift=min_shift,
-                       max_shift=max_shift, interpret=interpret)
+                       max_shift=max_shift, lsteps=lsteps,
+                       interpret=interpret)
         ws.append(w)
     return jnp.concatenate(ws, axis=0)
 

@@ -80,9 +80,9 @@ def _win8(x, nrows, width):
     return x
 
 
-def _trail_ones(t, nrows, width):
-    """t[r, p] = min(256, consecutive 1s ending at p) per row."""
-    for j in range(8):
+def _trail_ones(t, nrows, width, steps=8):
+    """t[r, p] = min(2**steps, consecutive 1s ending at p) per row."""
+    for j in range(steps):
         step = 1 << j
         t = t + jnp.where(t == step, pltpu.roll(t, step, 1), 0)
     return t

@@ -60,7 +60,7 @@ HALO_R = 2           # overlay needs anchors of rows r-2..r+2
 
 def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
             eq_scr, cbuf, sems, *, rb, row0, out_lo, min_shift,
-            max_shift):
+            max_shift, lsteps):
     """rb rows of the shift space starting at global row `row0`; all rb
     rows (including the overlay halo) are written out — the host slices the
     rb-local output window [out_lo, out_lo + OUT_ROWS)."""
@@ -114,8 +114,10 @@ def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
     # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
     hi = L - row_s                                    # per-row position bound
     b = eq * (pos < hi)
-    trail = _trail_ones(b, rb, EXT)
-    lead = _lead_ones(b, rb, EXT)
+    # ladders exact up to 2**lsteps >= 2*s_max(group): a saturated count
+    # implies rlen >= 2s -> non-anchor either way (low groups save steps)
+    trail = _trail_ones(b, rb, EXT, steps=lsteps)
+    lead = _lead_ones(b, rb, EXT, steps=lsteps)
     rlen = trail + lead - 1
     run_end = pos + lead
     anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
@@ -157,9 +159,9 @@ def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
 
 @functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
                                              "min_shift", "max_shift",
-                                             "interpret"))
+                                             "lsteps", "interpret"))
 def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
-               max_shift, interpret):
+               max_shift, lsteps, interpret):
     Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = [jax.ShapeDtypeStruct((rb, Lp), jnp.int8)
@@ -167,7 +169,8 @@ def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
     out_specs = [pl.BlockSpec((rb, TILE), lambda i: (0, i),
                               memory_space=pltpu.VMEM) for _ in range(4)]
     kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
-                               min_shift=min_shift, max_shift=max_shift)
+                               min_shift=min_shift, max_shift=max_shift,
+                               lsteps=lsteps)
     L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
@@ -201,9 +204,12 @@ def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
         out_lo = glo - row0
         rb = out_lo + OUT_ROWS + HALO_R
         rb = (rb + 7) & ~7                    # sublane multiple
+        s_max = min(min_shift + row0 + rb - 1, max_shift)
+        lsteps = max(3, (2 * s_max - 1).bit_length())
         outs = _scan_rows(comb2d, L, rb=rb, row0=row0,
                           out_lo=out_lo, min_shift=min_shift,
-                          max_shift=max_shift, interpret=interpret)
+                          max_shift=max_shift, lsteps=lsteps,
+                          interpret=interpret)
         halves.append(tuple(o[out_lo:out_lo + OUT_ROWS] for o in outs))
     return tuple(jnp.concatenate([halves[h][j] for h in range(nhalf)], axis=0)
                  for j in range(4))
