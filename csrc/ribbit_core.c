@@ -370,6 +370,13 @@ typedef struct RibbitCore {
     int stream_poisoned;
     i64 sm_pi, sm_si, sm_ai;
     i64 sm_type;                /* persists like final_merge's smallest_type */
+
+    /* count of anchored coverage-vote block executions (the positional
+     * j-indexed quirk sites, parse_anchored_shiftxor.cpp:441-526).  These
+     * are the ONLY lattice reads that reach back to the list heads; a
+     * chunk-split replay is exact iff no chunk after the first executes
+     * one (see parallel-replay notes in pipeline.py) */
+    i64 anch_votes;
 } RibbitCore;
 
 static void iv_reset(IVec *v) { v->n = 0; }
@@ -2422,6 +2429,7 @@ restart:;
     if (po_sp_nonfactor.n > 0) {
         i64 nonfactor_coverage = 0;
         uint32_t prev_start = 0xFFFFFFFFu;
+        c->anch_votes++;
         for (i64 j = 0; j < po_sp_nonfactor.n; j++) {
             i64 ktype = po_sp_nonfactortypes.d[j];
             SeedList *src = ktype == RANK_P ? perfect
@@ -2454,6 +2462,7 @@ restart:;
     if (po_sp_factor.n > 0) {
         /* maps keyed by motif length (bounded by max_motif) */
         i64 nkeys = c->max_motif + 3;
+        c->anch_votes++;
         uint32_t *prev_starts = (uint32_t *)malloc((size_t)nkeys * 4);
         i64 *factor_cov = (i64 *)malloc((size_t)nkeys * sizeof(i64));
         uint8_t *present = (uint8_t *)calloc((size_t)nkeys, 1);
@@ -3221,6 +3230,8 @@ i64 ribbit_core_scan(RibbitCore *c) {
 }
 
 void ribbit_core_set_threads(RibbitCore *c, i32 n) { c->nthreads = n; }
+
+i64 ribbit_core_anch_votes(RibbitCore *c) { return c->anch_votes; }
 
 /* Streaming scan: like ribbit_core_scan, but finalized merged seeds are
  * delivered incrementally through cb during the anchored consume so the

@@ -75,6 +75,8 @@ def _get_core_lib_locked():
         P64, ctypes.c_int64, ctypes.c_int32, P64]
     lib.ribbit_core_set_threads.restype = None
     lib.ribbit_core_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ribbit_core_anch_votes.restype = ctypes.c_int64
+    lib.ribbit_core_anch_votes.argtypes = [ctypes.c_void_p]
     lib.ribbit_core_capture_runs.restype = None
     lib.ribbit_core_capture_runs.argtypes = [ctypes.c_void_p]
     lib.ribbit_core_runs_total.restype = ctypes.c_int64
@@ -170,6 +172,13 @@ class CoreSession:
             self.lib.ribbit_core_get_seeds(
                 self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
+
+    def anch_votes(self) -> int:
+        """Executions of the anchored coverage-vote blocks so far (the
+        positional j-indexed quirk, parse_anchored_shiftxor.cpp:441-526) —
+        the only lattice reads that reach back to the list heads.  A
+        chunk-split replay is exact iff no chunk after the first voted."""
+        return int(self.lib.ribbit_core_anch_votes(self.handle))
 
     def refine(self, seeds: np.ndarray, sequence: str,
                sequence_id: str) -> list[str]:

@@ -268,3 +268,26 @@ def test_makefile_sources_match_core_compile_list():
     for hash_list in re.findall(r"files=\[(.*?)\]", mk):
         files = re.findall(r"'(ribbit_\w+\.c)'", hash_list)
         assert files == core_files, (files, core_files)
+
+
+def test_anch_vote_counter_fires_on_repeats():
+    """The anchored coverage-vote counter (ribbit_core_anch_votes) must
+    observe the positional j-indexed quirk sites firing on ordinary
+    repeat-dense input — the measured evidence behind rejecting exact
+    chunk-parallel lattice replay (NOTES_ROUND6.md: ~4,000 votes/Mb on
+    the chromosome fixture, ~1,400/Mb even on uniform random DNA)."""
+    from ribbit_tpu.config import RibbitConfig
+    from ribbit_tpu.core import CoreSession
+    from ribbit_tpu.encode import encode
+    from ribbit_tpu.sim import simulate
+
+    cfg = RibbitConfig.create()
+    sim = simulate(num_loci=20, seed=31, name="votes")
+    code, n_mask = encode(sim.sequence)
+    sess = CoreSession(code, n_mask, cfg)
+    try:
+        assert sess.anch_votes() == 0          # fresh session
+        sess.scan()
+        assert sess.anch_votes() > 0           # quirk sites are pervasive
+    finally:
+        sess.close()
