@@ -92,6 +92,12 @@ def _with_deadline(fn, *args, what: str = "collective"):
     return val
 
 
+# cumulative allgather payload bytes this process has seen (comm-volume
+# accounting for the multi-host efficiency model, BASELINE.md); the
+# stacked allgather moves nproc * payload bytes per rank
+COMM_BYTES = 0
+
+
 def _gather_blobs(local: dict, total: int) -> List[bytes]:
     """Allgather per-slot byte blobs across processes.
 
@@ -107,8 +113,10 @@ def _gather_blobs(local: dict, total: int) -> List[bytes]:
                                      lens, what="length allgather")
                       ).sum(axis=0)
 
+    global COMM_BYTES
     offs = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
+    COMM_BYTES += int(offs[-1])
     payload = np.zeros(int(offs[-1]), dtype=np.uint8)
     for i, b in local.items():
         payload[offs[i]:offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
@@ -268,8 +276,8 @@ def multihost_process_contig(sequence_id: str, sequence: str,
         import sys
         print(f"[p{pid}] {sequence_id}: {len(owned)}/{nchunks} chunks  "
               f"scan {t_scan:.2f}s  events {t_events:.2f}s  "
-              f"replay+refine {t_replay:.2f}s  gather {t_gather:.2f}s",
-              file=sys.stderr)
+              f"replay+refine {t_replay:.2f}s  gather {t_gather:.2f}s  "
+              f"comm {COMM_BYTES / 1e6:.1f}MB", file=sys.stderr)
 
     out: List[str] = []
     for b in out_blobs:
