@@ -3,12 +3,12 @@
  * contract).
  *
  * The TPU event-extraction kernel (ribbit_tpu/scan_events_pallas.py)
- * emits ONE int32 word per sequence position carrying NROWS = 10 shift
+ * emits ONE int32 word per sequence position carrying NROWS = 8 shift
  * rows with a uniform field stride:
  *
- *   bits  0- 9  q6 qualified bitmap, rows 0-9   (threshold-6 overlay
- *        10-19  q7 qualified bitmap, rows 0-9    windows / threshold-7
- *        20-29  perfect-match bitmap, rows 0-9   raw windows / eq & ~N)
+ *   bits  0- 7  q6 qualified bitmap, rows 0-7   (threshold-6 overlay
+ *         8-15  q7 qualified bitmap, rows 0-7    windows / threshold-7
+ *        16-23  perfect-match bitmap, rows 0-7   raw windows / eq & ~N)
  *
  * Run starts/ends are TRANSITIONS between consecutive words: bit on at p
  * and off at p-1 -> run start p; off at p and on at p-1 -> exclusive run
@@ -42,7 +42,7 @@ typedef int64_t i64;
 typedef uint32_t u32;
 typedef uint64_t u64;
 
-#define NROWS 10
+#define NROWS 8
 
 i64 ribbit_decode_bitmaps(const i32 *w, i64 L,
                           i64 row_lo, i64 row_hi, const i64 *cutoffs,
@@ -73,77 +73,84 @@ i64 ribbit_decode_bitmaps(const i32 *w, i64 L,
     } while (0)
 
     u32 prev = 0;          /* masked previous word */
-    u32 raw_prev = 0;      /* unmasked, for the fast skip */
     i64 p = 0;
-    for (;;) {
-        if (p < L) {
-            /* fast-forward to the next word that differs from its
-             * predecessor (skipped words are transition-free by
-             * construction).  AVX-512: compare 16 words per iteration
-             * against their shifted-by-one predecessors — this finds
-             * transitions, not just non-zero words, so dense runs skip
-             * as fast as empty regions (~16 GB/s/core detection). */
+
+/* transition body for one word (position P, masked value CUR); skipped
+ * entirely when the masked value is unchanged */
+#define PROCESS(CUR, P) do {                                              \
+        u32 _cur = (CUR);                                                 \
+        u32 diff = _cur ^ prev;                                           \
+        if (diff) {                                                       \
+            u32 on = _cur & diff, off = prev & diff;                      \
+            u32 t = on & q6m;                                             \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        EMIT(q6_s, cs6, b, (P)); }                        \
+            t = off & q6m;                                                \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        EMIT(q6_e, ce6, b, (P)); }                        \
+            t = (on & q7m) >> NROWS;                                      \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        EMIT(q7_s, cs7, b, (P)); }                        \
+            t = (off & q7m) >> NROWS;                                     \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        EMIT(q7_e, ce7, b, (P)); }                        \
+            t = (on & pmm) >> (2 * NROWS);                                \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        open_p[b] = (P); }                                \
+            t = (off & pmm) >> (2 * NROWS);                               \
+            while (t) { int b = __builtin_ctz(t); t &= t - 1;             \
+                        i64 s = open_p[b];                                \
+                        if (s >= 0 && (P) - s >= cutoffs[b]) {            \
+                            EMIT(p_s, cp, b, s);                          \
+                            /* p_e shares cp: pairs emitted together */   \
+                            i64 _k = cp[b] - 1;                           \
+                            if (_k < ((i64)b + 1) * cap)                  \
+                                p_e[_k] = (i32)(P);                       \
+                        }                                                 \
+                        open_p[b] = -1; }                                 \
+            prev = _cur;                                                  \
+        }                                                                 \
+    } while (0)
+
+    /* Transition DETECTION is vectorized: compare 16 words per AVX-512
+     * iteration against their shifted-by-one predecessors; every flagged
+     * word of the block is processed from the one compare mask (no
+     * rescan), so dense runs AND zero regions both stream at
+     * ~detection speed, and transition-heavy blocks pay once. */
 #if defined(__AVX512F__)
-            while (p + 16 <= L) {
-                __m512i v = _mm512_loadu_si512((const void *)(w + p));
-                __m512i bp = _mm512_set1_epi32((i32)raw_prev);
-                __m512i vp = _mm512_alignr_epi32(v, bp, 15);
-                __mmask16 m = _mm512_cmpneq_epi32_mask(v, vp);
-                if (m) {
-                    p += __builtin_ctz((u32)m);
-                    break;
-                }
-                raw_prev = (u32)w[p + 15];
-                p += 16;
+    {
+        u32 raw_prev = 0;
+        while (p + 16 <= L) {
+            __m512i v = _mm512_loadu_si512((const void *)(w + p));
+            __m512i bp = _mm512_set1_epi32((i32)raw_prev);
+            __m512i vp = _mm512_alignr_epi32(v, bp, 15);
+            u32 m = (u32)_mm512_cmpneq_epi32_mask(v, vp);
+            while (m) {
+                int o = __builtin_ctz(m);
+                m &= m - 1;
+                PROCESS((u32)w[p + o] & amask, p + o);
             }
-#endif
-            u64 rep = ((u64)raw_prev << 32) | raw_prev;
-            while (p + 2 <= L) {
-                u64 two;
-                memcpy(&two, w + p, 8);
-                if (two != rep) break;
-                p += 2;
-            }
+            raw_prev = (u32)w[p + 15];
+            p += 16;
         }
-        u32 cur = 0;
-        if (p < L) {
-            raw_prev = (u32)w[p];
-            cur = raw_prev & amask;
-        }
-        /* p == L runs once with cur = 0: the implicit closing word */
-        u32 diff = cur ^ prev;
-        if (diff) {
-            u32 on = cur & diff, off = prev & diff;
-            u32 t = on & q6m;
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q6_s, cs6, b, p); }
-            t = off & q6m;
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q6_e, ce6, b, p); }
-            t = (on & q7m) >> NROWS;
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q7_s, cs7, b, p); }
-            t = (off & q7m) >> NROWS;
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        EMIT(q7_e, ce7, b, p); }
-            t = (on & pmm) >> (2 * NROWS);
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        open_p[b] = p; }
-            t = (off & pmm) >> (2 * NROWS);
-            while (t) { int b = __builtin_ctz(t); t &= t - 1;
-                        i64 s = open_p[b];
-                        if (s >= 0 && p - s >= cutoffs[b]) {
-                            EMIT(p_s, cp, b, s);
-                            /* p_e shares cp: pairs are emitted together */
-                            i64 _k = cp[b] - 1;
-                            if (_k < ((i64)b + 1) * cap) p_e[_k] = (i32)p;
-                        }
-                        open_p[b] = -1; }
-            prev = cur;
-        }
-        if (p >= L) break;
-        p++;
     }
+#else
+    {
+        u32 raw_prev = 0;
+        while (p + 2 <= L) {
+            u64 two, rep = ((u64)raw_prev << 32) | raw_prev;
+            memcpy(&two, w + p, 8);
+            if (two == rep) { p += 2; continue; }
+            PROCESS((u32)w[p] & amask, p);
+            raw_prev = (u32)w[p];
+            p++;
+        }
+    }
+#endif
+    for (; p < L; p++)                       /* scalar tail */
+        PROCESS((u32)w[p] & amask, p);
+    PROCESS(0, L);      /* implicit closing word ends open runs at L */
+#undef PROCESS
 #undef EMIT
 
     if (over) return over;

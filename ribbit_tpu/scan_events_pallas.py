@@ -16,16 +16,21 @@ element-serial), so this module changes the representation instead:
       q6 = threshold-6 overlay windows qualified (the anchored scan)
       q7 = threshold-7 raw windows qualified (the substitution scan)
       pm = eq & ~N (perfect-match positions)
-  - each call covers 10 shift rows (OUT_ROWS=10; 3 bitmap fields x 10
-    rows = 30 bits) packed with a UNIFORM field stride via one weighted
-    sublane reduction (weight 1 << d, no sublane slicing):
-      bits 0-9 q6 rows 0-9, 10-19 q7 rows 0-9, 20-29 pm rows 0-9
-    Output volume is 4 B/bp * 11 planes = 44 B/bp -- 2.4x below the old
-    six-flag format's 104 B/bp (the round-4 VERDICT asked for half) and
-    9x below v4's dense planes; the read side drops the same way (one
-    combined-stream DMA per 10 rows instead of per 4), cutting total
-    kernel HBM from ~213 to ~90 B/bp and the row-compute from 26x8 to
-    11x16 sublane rows.
+  - extraction is TWO passes.  PASS 1 computes ANCHOR bitmaps only --
+    anchors are row-local, so its calls have no halo and the expensive
+    run-length ladders execute exactly once per shift row (AROWS=16
+    rows/int32 word, bit r = row).  PASS 2 computes the event bitmaps
+    with NO ladders and NO row halo: each call covers OUT_ROWS=8 rows
+    (rb == 8, one sublane tile, zero padding waste) and reads the
+    overlay's neighbor-row anchors from the pass-1 planes with static
+    per-row bit shifts (~2 ops per neighbor instead of recomputing the
+    whole anchor pipeline on 2 halo rows per side).
+  - pass-2 words pack the three bitmaps with a UNIFORM field stride via
+    one weighted sublane reduction (weight 1 << d, no sublane slicing):
+      bits 0-7 q6 rows 0-7, 8-15 q7 rows 0-7, 16-23 pm rows 0-7
+    Output volume is 4 B/bp * 13 planes = 52 B/bp -- HALF the old
+    six-flag format's 104 B/bp (the round-4 VERDICT target) and 8x below
+    v4's dense planes; the pass-1 planes stay on the device (HBM only).
   - the host derives run starts/ends from bitmap TRANSITIONS
     (w[p] & ~w[p-1] / w[p-1] & ~w[p]) with a threaded C decoder
     (csrc/ribbit_events.c): any word equal to its predecessor is skipped,
@@ -56,12 +61,17 @@ from .config import RibbitConfig, ANCHOR_SIZE
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
                              _trail_ones, _lead_ones, _nsp_of)
 
-TILE = 24576         # 16-row-body sweep optimum (12288..32768 all within
-                     # ~5%; VMEM holds to 32768)
+TILE = 32768         # two-pass sweep optimum (16384/20480/32768 =
+                     # 173/175/179 Mbp/s); VMEM holds at 32768 for both
+                     # the 16-row anchor pass and the 8-row event pass
 RPAD = 768           # right context: max_shift + EXT overhang
 EXT = LPAD + TILE + CAP + 128
 CHUNK = LPAD + TILE + RPAD
-OUT_ROWS = 10        # one packed 10-row word per call (3 x 10-bit fields)
+OUT_ROWS = 8         # packed rows per event word (3 x 8-bit fields); the
+                     # event pass has NO row halo (anchors come from the
+                     # pass-1 planes), so rb == OUT_ROWS == one sublane
+                     # tile — max utilization
+AROWS = 16           # anchor-plane packing: 16 rows per int32 word
 HALO_R = 2           # overlay needs anchors of rows r-2..r+2
 
 
@@ -76,14 +86,18 @@ def _weights(rb: int, out_lo: int, bit0: int) -> jnp.ndarray:
     return jnp.where(inside, jnp.left_shift(jnp.int32(1), sh), 0)
 
 
-def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
-            sems, *, rb, row0, out_lo, min_shift, max_shift, lsteps):
-    """One OUT_ROWS output group (global shift rows [row0+out_lo,
-    row0+out_lo+OUT_ROWS)) of the bitmap-word plane for one TILE of
-    positions.  `lsteps` bounds the anchor run-length ladders per group:
-    counts are exact up to 2**lsteps >= 2*s_max(group), which decides
-    rlen < 2s exactly (a saturated count implies rlen >= 2*s_max >= 2s ->
-    non-anchor either way); low shift groups save ladder steps."""
+def _aweights(rb: int) -> jnp.ndarray:
+    """[rb, 1] int32 column for the anchor-plane packing: 1 << r."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    return jnp.left_shift(jnp.int32(1), jnp.clip(r, 0, 31))
+
+
+def _anchor_kernel(L_ref, comb_hbm, a_ref, eq_scr, cbuf, sems, *,
+                   rb, row0, min_shift, max_shift, lsteps):
+    """PASS 1: anchor bitmaps for AROWS=16 shift rows, packed one int32
+    word per position (bit r = row row0+r).  Anchors are row-local, so
+    this pass has no halo and every computed row is useful — the
+    expensive run-length ladders run exactly once per shift row."""
     L = L_ref[0, 0]
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -107,9 +121,6 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
     tile_dma(slot, i).wait()
 
     base = i * TILE
-    # ONE combined int32 stream halves the kernel's HBM read bytes (it was
-    # 74.7%% of the HBM roofline with separate code+mask streams): comb =
-    # code + 125*n_mask, split with two cheap vector ops
     comb = cbuf[slot]
     nmv = (comb >= 125).astype(jnp.int32)
     buf = comb - 125 * nmv
@@ -123,14 +134,16 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
         else:
             eq_scr[r:r + 1, :] = jnp.zeros((1, EXT), jnp.int32)
 
-    pos = _lane_iota(rb, EXT) + base - LPAD           # sequence position
-    rr = _row_iota(rb, EXT) + row0                    # global row index
-    row_s = rr + min_shift                            # row's shift value
+    pos = _lane_iota(rb, EXT) + base - LPAD
+    rr = _row_iota(rb, EXT) + row0
+    row_s = rr + min_shift
     valid_row = rr < NS
 
     eq = eq_scr[:, :] * ((pos < L) & valid_row)
 
-    # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
+    # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s];
+    # ladders exact up to 2**lsteps >= 2*s_max (saturation implies
+    # rlen >= 2s -> non-anchor either way)
     hi = L - row_s
     b = eq * (pos < hi)
     trail = _trail_ones(b, rb, EXT, steps=lsteps)
@@ -139,45 +152,21 @@ def _kernel(L_ref, comb_hbm, w_ref, eq_scr, cbuf,
     run_end = pos + lead
     anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
 
-    # overlay: channel row r ORs anchors of global rows r-2..r+2 except r.
-    # Wrapped-in rows land in halo rows whose packing weight is zero.
-    ov = eq
-    for d in (-2, -1, 1, 2):
-        rolled = pltpu.roll(anch, (rb - d) % rb, 0)
-        ok = (rr + d >= 0) & (rr + d < NS)
-        ov = ov | (rolled * ok)
-
-    # N-free windows over the full EXT width
-    nfree = _win8(nmv[:, :EXT], 1, EXT) == 0
-
-    q7f = ((_win8(eq, rb, EXT) >= 7) & nfree).astype(jnp.int32)
-    q6f = ((_win8(ov, rb, EXT) >= 6) & nfree).astype(jnp.int32)
-
-    pm = eq * (nmv[:, :EXT] == 0)
-
-    # pack the three bitmaps per (row, lane) with constant field shifts
-    # (stride OUT_ROWS), then one weighted sublane reduction (weight =
-    # 1 << (r - out_lo) on output rows): row d lands q6 at bit d, q7 at
-    # OUT_ROWS+d, pm at 2*OUT_ROWS+d.  Run starts/ends and the perfect
-    # cutoff filter moved to the host decoder (module docstring).
     sl = slice(LPAD, LPAD + TILE)
-    combined = (q6f[:, sl] + (q7f[:, sl] << OUT_ROWS)
-                + (pm[:, sl] << (2 * OUT_ROWS)))
-    w_ref[:, :] = (combined * _weights(rb, out_lo, 0)).sum(
-        axis=0, keepdims=True)
+    a_ref[:, :] = (anch[:, sl] * _aweights(rb)).sum(axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
-                                             "min_shift", "max_shift",
-                                             "lsteps", "interpret"))
-def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
-               max_shift, lsteps, interpret):
+@functools.partial(jax.jit, static_argnames=("rb", "row0", "min_shift",
+                                             "max_shift", "lsteps",
+                                             "interpret"))
+def _anchor_rows(comb2d, L, *, rb, row0, min_shift, max_shift, lsteps,
+                 interpret):
     Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = jax.ShapeDtypeStruct((1, Lp), jnp.int32)
     out_specs = pl.BlockSpec((1, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
+    kernel = functools.partial(_anchor_kernel, rb=rb, row0=row0,
                                min_shift=min_shift, max_shift=max_shift,
                                lsteps=lsteps)
     L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
@@ -195,25 +184,183 @@ def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
     )(L_arr, comb2d)
 
 
+def _kernel(L_ref, comb_hbm, anch_hbm, w_ref, eq_scr, nb_scr, cbuf,
+            abuf0, abuf1, sems, *, rb, row0, min_shift, max_shift, p0,
+            npad):
+    """PASS 2: one OUT_ROWS output group (global shift rows [row0,
+    row0+OUT_ROWS)) of the event bitmap-word plane for one TILE of
+    positions.  NO run-length ladders and NO row halo: the overlay's
+    neighbor-row anchors are read from the pass-1 planes (rows p0 and
+    p0+1 cover global rows [16*p0, 16*p0+32) which contain [row0-2,
+    row0+OUT_ROWS+1]) with static per-row bit shifts.  The planes arrive
+    FLATTENED to (1, 8*npad) — Mosaic rejects size-1 leading-dim slices
+    of a [8, N] array ("aligned to tiling (8)"), but a lane slice at the
+    128-aligned offset pi*npad + base is the same pattern the comb
+    stream uses."""
+    L = L_ref[0, 0]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    NS = max_shift - min_shift + 1
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def tile_dma(s, tidx):
+        base = tidx * TILE
+        return pltpu.make_async_copy(comb_hbm.at[:, pl.ds(base, CHUNK)],
+                                     cbuf.at[s], sems.at[s, 0])
+
+    def adma(s, tidx, which, buf):
+        off = (p0 + which) * npad + tidx * TILE
+        return pltpu.make_async_copy(
+            anch_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[s], sems.at[s, 1 + which])
+
+    def start_all(s, tidx):
+        tile_dma(s, tidx).start()
+        adma(s, tidx, 0, abuf0).start()
+        adma(s, tidx, 1, abuf1).start()
+
+    def wait_all(s, tidx):
+        tile_dma(s, tidx).wait()
+        adma(s, tidx, 0, abuf0).wait()
+        adma(s, tidx, 1, abuf1).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start_all(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_all(nxt, i + 1)
+
+    wait_all(slot, i)
+
+    base = i * TILE
+    # ONE combined int32 stream (comb = code + 125*n_mask), split with
+    # two cheap vector ops
+    comb = cbuf[slot]
+    nmv = (comb >= 125).astype(jnp.int32)
+    buf = comb - 125 * nmv
+
+    here = buf[:, :EXT]
+    for r in range(rb):
+        g = row0 + r
+        if g < NS:
+            s = min_shift + g
+            eq_scr[r:r + 1, :] = (here == buf[:, s:s + EXT]).astype(jnp.int32)
+        else:
+            eq_scr[r:r + 1, :] = jnp.zeros((1, EXT), jnp.int32)
+
+    # neighbor-row anchors from the packed planes: row r's overlay ORs
+    # anchors of global rows row0+r+d, d in {-2,-1,1,2}; plane/bit are
+    # static per (r, d), so each is one shift+mask of a fetched plane row
+    A0 = abuf0[slot][:, :EXT]
+    A1 = abuf1[slot][:, :EXT]
+    for r in range(rb):
+        acc = None
+        for d in (-2, -1, 1, 2):
+            g = row0 + r + d
+            if 0 <= g < NS:
+                pi, bit = divmod(g, AROWS)
+                assert p0 <= pi <= p0 + 1, (row0, r, d, pi, p0)
+                src = A0 if pi == p0 else A1
+                v = jax.lax.shift_right_logical(src, jnp.int32(bit)) & 1
+                acc = v if acc is None else (acc | v)
+        nb_scr[r:r + 1, :] = (acc if acc is not None
+                              else jnp.zeros((1, EXT), jnp.int32))
+
+    pos = _lane_iota(rb, EXT) + base - LPAD           # sequence position
+    rr = _row_iota(rb, EXT) + row0                    # global row index
+    valid_row = rr < NS
+
+    eq = eq_scr[:, :] * ((pos < L) & valid_row)
+    ov = eq | nb_scr[:, :]
+
+    # N-free windows over the full EXT width
+    nfree = _win8(nmv[:, :EXT], 1, EXT) == 0
+
+    q7f = ((_win8(eq, rb, EXT) >= 7) & nfree).astype(jnp.int32)
+    q6f = ((_win8(ov, rb, EXT) >= 6) & nfree).astype(jnp.int32)
+
+    pm = eq * (nmv[:, :EXT] == 0)
+
+    # pack the three bitmaps per (row, lane) with constant field shifts
+    # (stride OUT_ROWS), then one weighted sublane reduction: row d lands
+    # q6 at bit d, q7 at OUT_ROWS+d, pm at 2*OUT_ROWS+d.  Run starts/ends
+    # and the perfect cutoff filter live in the host decoder (module
+    # docstring).
+    sl = slice(LPAD, LPAD + TILE)
+    combined = (q6f[:, sl] + (q7f[:, sl] << OUT_ROWS)
+                + (pm[:, sl] << (2 * OUT_ROWS)))
+    w_ref[:, :] = (combined * _weights(rb, 0, 0)).sum(
+        axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "row0", "min_shift",
+                                             "max_shift", "p0",
+                                             "interpret"))
+def _scan_rows(comb2d, anch2d, L, *, rb, row0, min_shift,
+               max_shift, p0, interpret):
+    Lp = comb2d.shape[1] - LPAD - RPAD
+    grid = (Lp // TILE,)
+    out_shape = jax.ShapeDtypeStruct((1, Lp), jnp.int32)
+    out_specs = pl.BlockSpec((1, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, rb=rb, row0=row0,
+                               min_shift=min_shift, max_shift=max_shift,
+                               p0=p0, npad=comb2d.shape[1])
+    L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
+                        pltpu.VMEM((rb, EXT), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, 3))],
+        interpret=interpret,
+    )(L_arr, comb2d, anch2d)
+
+
 def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
-    """ceil(nsp/OUT_ROWS) calls of one packed group each -> one
-    [ngroups, Lp] int32 bitmap-word plane (OUT_ROWS shift rows/word)."""
+    """Two-pass extraction.
+
+    PASS 1: ceil(nsp/AROWS) anchor-plane calls (16 rows/word, no halo —
+    the run-length ladders run exactly once per shift row).  The planes
+    are padded to the comb stream's coordinate system (LPAD zeros left,
+    RPAD right) plus one all-zero plane so pass 2 can always fetch two
+    consecutive plane rows.
+
+    PASS 2: ceil(nsp/OUT_ROWS) ladder-free event calls (rb == OUT_ROWS ==
+    8, one sublane tile, zero halo waste) reading neighbor-row anchors
+    from the planes -> one [ngroups, Lp] int32 bitmap-word plane."""
     ws = []
+    aplanes = []
+    nap = (nsp + AROWS - 1) // AROWS
+    for h in range(nap):
+        row0 = h * AROWS
+        s_max = min(min_shift + row0 + AROWS - 1, max_shift)
+        lsteps = max(3, (2 * s_max - 1).bit_length())
+        aplanes.append(_anchor_rows(comb2d, L, rb=AROWS, row0=row0,
+                                    min_shift=min_shift,
+                                    max_shift=max_shift, lsteps=lsteps,
+                                    interpret=interpret))
+    anch2d = jnp.pad(jnp.concatenate(aplanes, axis=0),
+                     ((0, 1), (LPAD, RPAD))).reshape(1, -1)
+
     ngroups = (nsp + OUT_ROWS - 1) // OUT_ROWS
     for h in range(ngroups):
-        glo = h * OUT_ROWS
-        row0 = max(0, glo - HALO_R)
-        out_lo = glo - row0
-        rb = out_lo + OUT_ROWS + HALO_R
-        rb = (rb + 7) & ~7
-        # anchor ladders only need exactness up to 2*s_max of the rows
-        # this call computes (see _kernel docstring)
-        s_max = min(min_shift + row0 + rb - 1, max_shift)
-        lsteps = max(3, (2 * s_max - 1).bit_length())
-        w = _scan_rows(comb2d, L, rb=rb, row0=row0,
-                       out_lo=out_lo, min_shift=min_shift,
-                       max_shift=max_shift, lsteps=lsteps,
-                       interpret=interpret)
+        row0 = h * OUT_ROWS
+        p0 = max(0, (row0 - HALO_R) // AROWS)
+        w = _scan_rows(comb2d, anch2d, L, rb=OUT_ROWS, row0=row0,
+                       min_shift=min_shift, max_shift=max_shift,
+                       p0=p0, interpret=interpret)
         ws.append(w)
     return jnp.concatenate(ws, axis=0)
 
