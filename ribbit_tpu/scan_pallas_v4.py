@@ -46,24 +46,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .config import RibbitConfig, ANCHOR_SIZE, WINDOW_LENGTH
+from .config import RibbitConfig, WINDOW_LENGTH
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
-                             _trail_ones, _lead_ones, _nsp_of)
+                             _lead_ones, _nsp_of)
 
 TILE = 32768
 RPAD = 768           # right context: max_shift + EXT overhang
 EXT = LPAD + TILE + CAP + 128
 CHUNK = LPAD + TILE + RPAD
-OUT_ROWS = 4         # output rows per call (sweep optimum, see module doc)
+OUT_ROWS = 8         # output rows per call == rb (round 6: the anchor
+                     # pass moved to scan_events_pallas._anchor_rows, so
+                     # this kernel has NO ladders and NO row halo — one
+                     # full sublane tile per call, zero padding waste)
+AROWS = 16           # anchor-plane packing (scan_events_pallas.AROWS)
 HALO_R = 2           # overlay needs anchors of rows r-2..r+2
 
 
-def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
-            eq_scr, cbuf, sems, *, rb, row0, out_lo, min_shift,
-            max_shift, lsteps):
-    """rb rows of the shift space starting at global row `row0`; all rb
-    rows (including the overlay halo) are written out — the host slices the
-    rb-local output window [out_lo, out_lo + OUT_ROWS)."""
+def _kernel(L_ref, comb_hbm, anch_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
+            eq_scr, nb_scr, cbuf, abuf0, abuf1, sems, *, rb, row0,
+            min_shift, max_shift, p0, npad):
+    """rb == OUT_ROWS rows of the shift space starting at global row
+    `row0`, all useful (no halo): the overlay's neighbor-row anchors are
+    read from the pass-1 anchor planes (scan_events_pallas._anchor_rows;
+    flattened to (1, 8*npad) — Mosaic rejects size-1 leading-dim slices,
+    but a 128-aligned lane slice at pi*npad + base is the comb stream's
+    own DMA pattern), so this kernel runs NO run-length ladders."""
     L = L_ref[0, 0]
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -74,17 +81,33 @@ def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
     def tile_dma(s, tidx):
         base = tidx * TILE
         return pltpu.make_async_copy(comb_hbm.at[:, pl.ds(base, CHUNK)],
-                                     cbuf.at[s], sems.at[s])
+                                     cbuf.at[s], sems.at[s, 0])
+
+    def adma(s, tidx, which, buf):
+        off = (p0 + which) * npad + tidx * TILE
+        return pltpu.make_async_copy(
+            anch_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[s], sems.at[s, 1 + which])
+
+    def start_all(s, tidx):
+        tile_dma(s, tidx).start()
+        adma(s, tidx, 0, abuf0).start()
+        adma(s, tidx, 1, abuf1).start()
+
+    def wait_all(s, tidx):
+        tile_dma(s, tidx).wait()
+        adma(s, tidx, 0, abuf0).wait()
+        adma(s, tidx, 1, abuf1).wait()
 
     @pl.when(i == 0)
     def _():
-        tile_dma(0, 0).start()
+        start_all(0, 0)
 
     @pl.when(i + 1 < n)
     def _():
-        tile_dma(nxt, i + 1).start()
+        start_all(nxt, i + 1)
 
-    tile_dma(slot, i).wait()
+    wait_all(slot, i)
 
     base = i * TILE
     # ONE combined int32 stream halves the kernel's HBM read bytes (it was
@@ -104,33 +127,29 @@ def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
         else:
             eq_scr[r:r + 1, :] = jnp.zeros((1, EXT), jnp.int32)
 
+    # neighbor-row anchors from the packed planes: static plane/bit per
+    # (r, d), one shift+mask each
+    A0 = abuf0[slot][:, :EXT]
+    A1 = abuf1[slot][:, :EXT]
+    for r in range(rb):
+        acc = None
+        for d in (-2, -1, 1, 2):
+            g = row0 + r + d
+            if 0 <= g < NS:
+                pi, bit = divmod(g, AROWS)
+                assert p0 <= pi <= p0 + 1, (row0, r, d, pi, p0)
+                src = A0 if pi == p0 else A1
+                v = jax.lax.shift_right_logical(src, jnp.int32(bit)) & 1
+                acc = v if acc is None else (acc | v)
+        nb_scr[r:r + 1, :] = (acc if acc is not None
+                              else jnp.zeros((1, EXT), jnp.int32))
+
     pos = _lane_iota(rb, EXT) + base - LPAD           # sequence position
     rr = _row_iota(rb, EXT) + row0                    # global row index
-    row_s = rr + min_shift                            # row's shift value
     valid_row = rr < NS
 
     eq = eq_scr[:, :] * ((pos < L) & valid_row)
-
-    # anchors: closed runs of length [ANCHOR_SIZE, 2s) within [0, L-1-s]
-    hi = L - row_s                                    # per-row position bound
-    b = eq * (pos < hi)
-    # ladders exact up to 2**lsteps >= 2*s_max(group): a saturated count
-    # implies rlen >= 2s -> non-anchor either way (low groups save steps)
-    trail = _trail_ones(b, rb, EXT, steps=lsteps)
-    lead = _lead_ones(b, rb, EXT, steps=lsteps)
-    rlen = trail + lead - 1
-    run_end = pos + lead
-    anch = b * ((run_end < hi) & (rlen >= ANCHOR_SIZE) & (rlen < 2 * row_s))
-
-    # overlay: channel row r ORs anchors of global rows r-2, r-1, r+1, r+2.
-    # The roll wraps within the rb-row window; wrapped-in rows are either
-    # masked (global r+d outside [0, NS)) or only pollute halo rows that the
-    # output slice drops.
-    ov = eq
-    for d in (-2, -1, 1, 2):
-        rolled = pltpu.roll(anch, (rb - d) % rb, 0)
-        ok = (rr + d >= 0) & (rr + d < NS)
-        ov = ov | (rolled * ok)
+    ov = eq | nb_scr[:, :]
 
     # N-free windows (shared across rows)
     nfree = (_win8(nmv[:, :EXT], 1, EXT)[:, LPAD:LPAD + TILE] == 0)
@@ -157,60 +176,74 @@ def _kernel(L_ref, comb_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
     pm_ref[:, :] = pm_t.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "row0", "out_lo",
-                                             "min_shift", "max_shift",
-                                             "lsteps", "interpret"))
-def _scan_rows(comb2d, L, *, rb, row0, out_lo, min_shift,
-               max_shift, lsteps, interpret):
+@functools.partial(jax.jit, static_argnames=("rb", "row0", "min_shift",
+                                             "max_shift", "p0",
+                                             "interpret"))
+def _scan_rows(comb2d, anch2d, L, *, rb, row0, min_shift,
+               max_shift, p0, interpret):
     Lp = comb2d.shape[1] - LPAD - RPAD
     grid = (Lp // TILE,)
     out_shape = [jax.ShapeDtypeStruct((rb, Lp), jnp.int8)
                  for _ in range(4)]
     out_specs = [pl.BlockSpec((rb, TILE), lambda i: (0, i),
                               memory_space=pltpu.VMEM) for _ in range(4)]
-    kernel = functools.partial(_kernel, rb=rb, row0=row0, out_lo=out_lo,
+    kernel = functools.partial(_kernel, rb=rb, row0=row0,
                                min_shift=min_shift, max_shift=max_shift,
-                               lsteps=lsteps)
+                               p0=p0, npad=comb2d.shape[1])
     L_arr = jnp.asarray(L, dtype=jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((rb, EXT), jnp.int32),
+                        pltpu.VMEM((rb, EXT), jnp.int32),
                         pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
-    )(L_arr, comb2d)
+    )(L_arr, comb2d, anch2d)
 
 
 def _scan_all(comb2d, L, *, nsp, min_shift, max_shift, interpret):
-    """Row-split sweep: ceil(nsp / OUT_ROWS) calls of OUT_ROWS rows each
-    (with the ±HALO_R in-row halo), concatenated to [nsp, Lp] like v3.
+    """Two-pass row-split sweep (round 6): the anchor planes come from
+    scan_events_pallas._anchor_rows (16 rows/word, ladders once per shift
+    row, no halo), then ceil(nsp / OUT_ROWS) ladder-free 8-row calls
+    produce the four dense planes, concatenated to [nsp, Lp] like v3.
 
-    row0/rb/out_lo are static, so the default config compiles ~26 kernel
-    variants.  Deliberate: the variants differ only in the row-window
-    origin and Mosaic compiles the 8-row program in well under a second
-    each (whole sweep ~8-12 s cold, cached thereafter); making row0 an
-    SMEM scalar would force the per-row eq slice offsets dynamic, which
-    costs more inside the kernel than it saves at compile time."""
+    row0/p0 are static, so the default config compiles ~20 kernel
+    variants; Mosaic compiles each 8/16-row program in about a second
+    (whole sweep cached thereafter)."""
+    from . import scan_events_pallas as ev
+    assert ev.TILE == TILE and ev.LPAD == LPAD and ev.RPAD == RPAD, \
+        "anchor pass geometry must match (shared comb stream layout)"
+
+    aplanes = []
+    nap = (nsp + AROWS - 1) // AROWS
+    for h in range(nap):
+        arow0 = h * AROWS
+        s_max = min(min_shift + arow0 + AROWS - 1, max_shift)
+        lsteps = max(3, (2 * s_max - 1).bit_length())
+        aplanes.append(ev._anchor_rows(comb2d, L, rb=AROWS, row0=arow0,
+                                       min_shift=min_shift,
+                                       max_shift=max_shift, lsteps=lsteps,
+                                       interpret=interpret))
+    anch2d = jnp.pad(jnp.concatenate(aplanes, axis=0),
+                     ((0, 1), (LPAD, RPAD))).reshape(1, -1)
+
     halves = []
     nhalf = (nsp + OUT_ROWS - 1) // OUT_ROWS
     for h in range(nhalf):
-        glo = h * OUT_ROWS                    # first output row (global)
-        row0 = max(0, glo - HALO_R)
-        out_lo = glo - row0
-        rb = out_lo + OUT_ROWS + HALO_R
-        rb = (rb + 7) & ~7                    # sublane multiple
-        s_max = min(min_shift + row0 + rb - 1, max_shift)
-        lsteps = max(3, (2 * s_max - 1).bit_length())
-        outs = _scan_rows(comb2d, L, rb=rb, row0=row0,
-                          out_lo=out_lo, min_shift=min_shift,
-                          max_shift=max_shift, lsteps=lsteps,
-                          interpret=interpret)
-        halves.append(tuple(o[out_lo:out_lo + OUT_ROWS] for o in outs))
+        row0 = h * OUT_ROWS
+        p0 = max(0, (row0 - HALO_R) // AROWS)
+        outs = _scan_rows(comb2d, anch2d, L, rb=OUT_ROWS, row0=row0,
+                          min_shift=min_shift, max_shift=max_shift,
+                          p0=p0, interpret=interpret)
+        halves.append(outs)
     return tuple(jnp.concatenate([halves[h][j] for h in range(nhalf)], axis=0)
                  for j in range(4))
 

@@ -115,18 +115,22 @@ def test_pallas_v4_matches_v1(cpu_jax):
     The interpret run patches TILE down to 8192 (interpret cost scales
     with EXT): the kernel algebra and the dependency-cone exactness
     argument are TILE-independent, and the shipped TILE=32768 config is
-    separately validated on-chip by a diffcount vs the 16384 config
-    (EVIDENCE.md)."""
+    separately pinned by test_pallas_v4_shipped_geometry_matches_v1.
+    The anchor pass lives in scan_events_pallas (round-6 two-pass
+    design), so BOTH modules' geometry is patched together."""
+    import ribbit_tpu.scan_events_pallas as ev
     import ribbit_tpu.scan_pallas_v4 as m
     from ribbit_tpu.encode import encode
     from ribbit_tpu.sim import simulate
     from ribbit_tpu.scan_pallas_full import generate_masks_pallas
     from ribbit_tpu.scan_pallas_v4 import generate_masks_pallas_v4
 
-    saved = (m.TILE, m.EXT, m.CHUNK)
-    m.TILE = 8192
+    saved = (m.TILE, m.EXT, m.CHUNK, ev.TILE, ev.EXT, ev.CHUNK)
+    m.TILE = ev.TILE = 8192
     m.EXT = m.LPAD + m.TILE + m.CAP + 128
     m.CHUNK = m.LPAD + m.TILE + m.RPAD
+    ev.EXT = ev.LPAD + ev.TILE + ev.CAP + 128
+    ev.CHUNK = ev.LPAD + ev.TILE + ev.RPAD
     try:
         for cfg, seed in ((RibbitConfig.create(), 7),
                           (RibbitConfig.create(min_motif=4, max_motif=37), 8)):
@@ -137,7 +141,7 @@ def test_pallas_v4_matches_v1(cpu_jax):
             for a, b in zip(v1, v4):
                 assert np.array_equal(np.asarray(a, np.int8), np.asarray(b))
     finally:
-        m.TILE, m.EXT, m.CHUNK = saved
+        m.TILE, m.EXT, m.CHUNK, ev.TILE, ev.EXT, ev.CHUNK = saved
         # _scan_rows traces capture the module globals; drop them so no
         # later same-process caller reuses an 8192-geometry trace
         import jax
