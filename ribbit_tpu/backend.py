@@ -3,13 +3,13 @@
 The reference is CPU-only (ribbit.cpp:180-297); ribbit-tpu adds a device
 event-extraction path (--backend tpu) whose win condition depends on the
 host<->device LINK, not just on chip presence: the production bitmap
-stream costs ~44 B/bp D2H (scan_events_pallas docstring), so the link
+stream costs ~52 B/bp D2H (scan_events_pallas docstring), so the link
 must sustain that at >= the host pipeline's own e2e rate or the transfer
 becomes the bottleneck and the host path is faster.
 
 Derivation of the threshold (BASELINE.md "PCIe-host --backend tpu e2e
 model", measured inputs): host e2e ~2.3 Mbp/s on a 4-core box ->
-44 B/bp x 2.3 Mbp/s = 100 MB/s minimum useful link bandwidth.  We ship
+52 B/bp x 2.3 Mbp/s = 120 MB/s minimum useful link bandwidth.  We ship
 LINK_THRESHOLD_MBPS = 250 (~2x margin: below that the D2H leg stops
 hiding under the host consume even when it is not the strict
 bottleneck).  Any real PCIe/ICI attachment (>= 8 GB/s) passes by 30x;
