@@ -113,19 +113,24 @@ def roofline_mfu(kern: dict) -> dict:
     alu = _measure_peak(_alu_kernel)
     out["vpu_alu_tops"] = round(alu, 2)
 
-    ncalls = (nsp + v4.OUT_ROWS - 1) // v4.OUT_ROWS
+    # two-pass byte accounting (round 6): PASS 1 = ceil(nsp/16) anchor
+    # calls (comb read + one int32 plane write) + the pad/flatten copy
+    # (~2x plane volume); PASS 2 calls read comb + TWO anchor plane rows
+    # and write their outputs.  Both scan-family kernels remain ALU-bound
+    # — the fraction is reported for completeness.
+    nap = (nsp + 15) // 16
+    stream_bp = 4 * (v4.CHUNK / v4.TILE)          # comb read per call
+    aplane_bp = nap * (stream_bp + 4) + 2 * 4 * nap   # pass 1 + pad copy
     if "tpu_scan_mbps" in kern:
-        # HBM per call: combined int32 stream read + FOUR int8 [rb, TILE]
-        # plane writes (rb = 8 rows incl. halo; r5 undercounted this as
-        # 4 B).  Both scan-family kernels are ALU-bound — the fraction is
-        # reported for completeness, not as the utilization story.
-        bytes_bp = ncalls * (4 * (v4.CHUNK / v4.TILE) + 4 * 8)
+        ncalls = (nsp + v4.OUT_ROWS - 1) // v4.OUT_ROWS
+        # pass-2 writes FOUR int8 [8, TILE] planes per call
+        bytes_bp = aplane_bp + ncalls * (stream_bp + 2 * stream_bp + 4 * 8)
         out["tpu_scan_hbm_frac"] = round(
             kern["tpu_scan_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)
     if "tpu_event_mbps" in kern:
         nc_ev = (nsp + ev.OUT_ROWS - 1) // ev.OUT_ROWS
-        # combined int32 read; ONE int32 bitmap-word plane per call
-        bytes_bp = nc_ev * (4 * (ev.CHUNK / ev.TILE) + 4)
+        # pass-2 writes ONE int32 bitmap-word plane per call
+        bytes_bp = aplane_bp + nc_ev * (stream_bp + 2 * stream_bp + 4)
         out["tpu_event_hbm_frac"] = round(
             kern["tpu_event_mbps"] * 1e6 * bytes_bp / (HBM_GBPS * 1e9), 3)
     if "tpu_align_gcups" in kern:
