@@ -102,12 +102,13 @@ def _process_core(sequence_id: str, sequence: str, cfg: RibbitConfig,
                 perf, q7, q6 = scan_events_segmented(code, n_mask, cfg,
                                                      extractor=_ex)
                 sess.set_events(perf, q7, q6)
-            except OverflowError:
-                # capacity autotune failed to converge (should not happen);
-                # fall back to native host generation rather than fail
-                print("ribbit-tpu: device event capacity autotune failed "
-                      f"for {sequence_id}; using host generation",
-                      file=sys.stderr)
+            except Exception as exc:
+                # capacity autotune failure, transient remote-compile /
+                # RPC errors, device OOM: a chip problem must degrade to
+                # host generation, never kill the run
+                print("ribbit-tpu: device event extraction failed for "
+                      f"{sequence_id} ({type(exc).__name__}); using host "
+                      "generation", file=sys.stderr)
         seeds = sess.scan()
 
         batched = os.environ.get("RIBBIT_BATCHED_REFINE")
@@ -525,11 +526,13 @@ def _fasta_records_tpu_overlap(records, todo, cfg: RibbitConfig):
         try:
             return code, n_mask, scan_events_segmented(code, n_mask, cfg,
                                                        extractor=_ex)
-        except OverflowError:
-            # device event-capacity autotune failed to converge: fall back
-            # to host generation for this contig (mirrors _process_core)
-            print("ribbit-tpu: device event capacity autotune failed for "
-                  f"{sid}; using host generation", file=sys.stderr)
+        except Exception as exc:
+            # autotune failure, transient remote-compile / RPC errors,
+            # device OOM: degrade to host generation for this contig
+            # rather than kill the run (mirrors _process_core)
+            print("ribbit-tpu: device event extraction failed for "
+                  f"{sid} ({type(exc).__name__}); using host generation",
+                  file=sys.stderr)
             return _FALLBACK
 
     # bounded prefetch: at most PREFETCH contigs' extracted events are held
