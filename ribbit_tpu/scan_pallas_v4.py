@@ -25,11 +25,16 @@ recompute, one pallas call) compiled to a 14-group unrolled body that ran
 4x SLOWER (229 Mbp/s, 117 s compile) — Mosaic's scheduling collapses at
 that body size, so the 2x halo recompute stays.
 
-The wrapped rows a roll drags across the window edge are either masked by
-the global (row+d) validity test (window at the global edge) or land in
-halo rows that the host slice drops, so outputs are bit-equal to
-scan_pallas_full.generate_masks_pallas (cross-checked in
-tests/test_pallas.py and by an on-device diffcount vs v3).
+ROUND-6 REDESIGN (two-pass, +110%): anchors are row-local, so the anchor
+computation moved to a dedicated pass (scan_events_pallas._anchor_rows:
+16 rows per int32 word, run-length ladders exactly once per shift row,
+no halo).  This kernel is now LADDER-FREE with rb == OUT_ROWS == 8 (one
+sublane tile, zero padding waste): the overlay's neighbor-row anchors
+are read from the flattened anchor planes with static per-row bit
+shifts.  57 -> 120 Mbp/s/chip honest all-call rate; outputs stay
+bit-equal to scan_pallas_full.generate_masks_pallas (cross-checked in
+tests/test_pallas.py, incl. the unpatched shipped geometry, and by an
+on-chip diffcount).
 
 Reference citations as v2/v3: fasta_utils.cpp:120-122, 146-160, 165,
 parse_anchored_shiftxor.cpp:20-56, parse_substitute_shiftxor.cpp:391-577,
@@ -46,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .config import RibbitConfig, WINDOW_LENGTH
+from .config import RibbitConfig
 from .scan_pallas_v2 import (CAP, LPAD, _row_iota, _lane_iota, _win8,
                              _lead_ones, _nsp_of)
 
@@ -154,10 +159,8 @@ def _kernel(L_ref, comb_hbm, anch_hbm, q7_ref, q6_ref, ps_ref, pm_ref,
     # N-free windows (shared across rows)
     nfree = (_win8(nmv[:, :EXT], 1, EXT)[:, LPAD:LPAD + TILE] == 0)
 
-    # window popcounts on eq (threshold 7) and overlay (threshold 6).
-    # Outputs carry the full rb-row window (halo rows included) because
-    # Mosaic cannot sublane-slice at non-8-aligned row offsets; the host
-    # drops the halo rows when concatenating.
+    # window popcounts on eq (threshold 7) and overlay (threshold 6);
+    # every rb row is an output row (no halo since the two-pass redesign)
     s8 = _win8(eq, rb, EXT)[:, LPAD:LPAD + TILE]
     o8 = _win8(ov, rb, EXT)[:, LPAD:LPAD + TILE]
     q7_ref[:, :] = ((s8 >= 7) & nfree).astype(jnp.int8)
