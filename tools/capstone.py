@@ -70,6 +70,12 @@ def main() -> int:
     print(f"genome: {mbp:.1f} Mbp, {len(sizes)} contigs", file=sys.stderr)
 
     ours_bed = wd / "ours.bed"
+    # a COMPLETE manifest from a prior run in the same workdir would make
+    # --resume skip every contig (a vacuous re-run that reports seconds
+    # and trivially "identical" output); start fresh, keep --resume only
+    # for crash recovery within THIS run
+    for stale in (ours_bed, wd / "ours.bed.manifest.json"):
+        stale.unlink(missing_ok=True)
     t0 = time.perf_counter()
     r = subprocess.run([sys.executable, "-m", "ribbit_tpu.cli", "-i", str(fa),
                         "-o", str(ours_bed), "--resume"], cwd=REPO)
