@@ -210,12 +210,16 @@ def main() -> None:
     # the largest size the link tolerates, parity-gated against the host
     # path, plus what `--backend auto` would pick here and why ---
     tpu_e2e = {}
-    try:
-        import jax
-        chip = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        chip = False
-    if chip and os.environ.get("RIBBIT_BENCH_TPU_E2E", "1") != "0":
+    chip = False
+    if os.environ.get("RIBBIT_BENCH_TPU_E2E", "1") != "0":
+        # check the knob BEFORE touching jax: default_backend() initializes
+        # the platform (minutes of retry loop on a wedged dev tunnel)
+        try:
+            import jax
+            chip = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            chip = False
+    if chip:
         try:
             from ribbit_tpu.backend import LINK_THRESHOLD_MBPS, probe_link_mbps
             link = probe_link_mbps()

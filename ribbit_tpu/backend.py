@@ -18,11 +18,19 @@ through that tunnel the TPU path measures ~100x slower than host.
 
 Selection order for "auto":
   1. RIBBIT_BACKEND env override (host | tpu | auto), if set;
-  2. no jax / no TPU-class platform -> host;
-  3. link probe >= threshold -> tpu, else host.
+  2. no LOCAL accelerator device node (/dev/accel*, /dev/vfio) -> host
+     WITHOUT importing jax: a locally-attached chip is a precondition
+     for the link ever clearing the threshold, and this keeps the
+     default host path free of jax/plugin initialization (remote-tunnel
+     dev setups correctly land here — through a tunnel the TPU path
+     always loses, and probing one costs seconds of session init per
+     process, which round 6 measured hanging CLI test subprocesses);
+  3. no jax / no TPU-class platform -> host;
+  4. link probe >= threshold -> tpu, else host.
 
 The probe is a one-time cost per process: a 128 KiB host->device->host
-roundtrip (fast links answer in ~1 ms; the tunnel takes ~0.25 s).  The
+roundtrip (fast local links answer in ~1 ms), time-boxed by a daemon
+thread so a wedged driver degrades to host instead of hanging.  The
 decision is cached on first use.
 """
 
@@ -35,8 +43,15 @@ from typing import Optional
 
 LINK_THRESHOLD_MBPS = 250.0
 _PROBE_BYTES = 128 << 10
+_PROBE_TIMEOUT_S = 15.0
 
 _cached: Optional[str] = None
+
+
+def _local_accelerator_present() -> bool:
+    """True when an accelerator device node is attached to THIS host."""
+    import glob
+    return bool(glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*"))
 
 
 def probe_link_mbps(nbytes: int = _PROBE_BYTES) -> float:
@@ -71,22 +86,45 @@ def resolve_backend(requested: str = "auto", quiet: bool = False) -> str:
     if _cached is not None:
         return _cached
 
-    choice, why = "host", "no TPU-class jax backend"
-    try:
-        import jax
-        if jax.default_backend() in ("tpu", "axon"):
-            mbps = probe_link_mbps()
-            if mbps >= LINK_THRESHOLD_MBPS:
-                choice = "tpu"
-                why = (f"link {mbps:,.0f} MB/s >= {LINK_THRESHOLD_MBPS:g} "
-                       "MB/s threshold")
-            else:
-                why = (f"link {mbps:,.1f} MB/s < {LINK_THRESHOLD_MBPS:g} "
-                       "MB/s threshold (flagword D2H would bottleneck)")
-    except Exception as exc:  # no jax / probe failure: host always works
-        why = f"probe failed ({type(exc).__name__})"
+    if not _local_accelerator_present():
+        # host path stays free of jax/plugin init (and remote-tunnel dev
+        # setups, where the TPU path always loses, land here instantly)
+        choice, why = "host", "no local accelerator device"
+    else:
+        choice, why = _probe_choice()
     if not quiet:
         print(f"ribbit-tpu: backend auto -> {choice} ({why})",
               file=sys.stderr)
     _cached = choice
     return choice
+
+
+def _probe_choice():
+    """(choice, why) from the jax platform + time-boxed link probe."""
+    import queue as _queue
+    import threading
+
+    def work(q):
+        try:
+            import jax
+            if jax.default_backend() not in ("tpu", "axon"):
+                q.put(("host", "no TPU-class jax backend"))
+                return
+            mbps = probe_link_mbps()
+            if mbps >= LINK_THRESHOLD_MBPS:
+                q.put(("tpu", f"link {mbps:,.0f} MB/s >= "
+                       f"{LINK_THRESHOLD_MBPS:g} MB/s threshold"))
+            else:
+                q.put(("host", f"link {mbps:,.1f} MB/s < "
+                       f"{LINK_THRESHOLD_MBPS:g} MB/s threshold (event "
+                       "stream D2H would bottleneck)"))
+        except Exception as exc:   # no jax / probe failure: host works
+            q.put(("host", f"probe failed ({type(exc).__name__})"))
+
+    q: _queue.Queue = _queue.Queue(maxsize=1)
+    threading.Thread(target=work, args=(q,), daemon=True,
+                     name="ribbit-backend-probe").start()
+    try:
+        return q.get(timeout=_PROBE_TIMEOUT_S)
+    except _queue.Empty:
+        return "host", f"probe timed out after {_PROBE_TIMEOUT_S:g}s"

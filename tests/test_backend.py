@@ -31,12 +31,37 @@ def test_auto_env_override(cpu_jax, monkeypatch):
     assert b.resolve_backend("auto", quiet=True) == "host"
 
 
+def test_auto_without_local_accelerator_short_circuits(cpu_jax, monkeypatch):
+    """Without a local accelerator device node, auto resolves host
+    instantly (no jax import, no probe — the round-6 fix for CLI
+    subprocesses paying tunnel-session init per invocation)."""
+    b = _reset()
+    monkeypatch.delenv("RIBBIT_BACKEND", raising=False)
+    monkeypatch.setattr(b, "_local_accelerator_present", lambda: False)
+    monkeypatch.setattr(b, "_probe_choice",
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    assert b.resolve_backend("auto", quiet=True) == "host"
+
+
+def test_auto_probe_timeout_degrades_to_host(cpu_jax, monkeypatch):
+    """A wedged driver/probe must time out to host, not hang the CLI."""
+    import time
+    b = _reset()
+    monkeypatch.delenv("RIBBIT_BACKEND", raising=False)
+    monkeypatch.setattr(b, "_local_accelerator_present", lambda: True)
+    monkeypatch.setattr(b, "_PROBE_TIMEOUT_S", 0.2)
+    monkeypatch.setattr(b, "probe_link_mbps",
+                        lambda nbytes=0: time.sleep(30))
+    assert b.resolve_backend("auto", quiet=True) == "host"
+
+
 def test_auto_link_threshold(cpu_jax, monkeypatch):
     """auto picks tpu only when the probed link clears the flagword-stream
     threshold; a tunnel-class link must fall back to host."""
     import jax
     b = _reset()
     monkeypatch.delenv("RIBBIT_BACKEND", raising=False)
+    monkeypatch.setattr(b, "_local_accelerator_present", lambda: True)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     monkeypatch.setattr(b, "probe_link_mbps", lambda nbytes=0: 12_000.0)

@@ -50,8 +50,10 @@ def test_bench_parity_gate_is_order_sensitive(tmp_path):
     env = dict(os.environ,
                RIBBIT_BENCH_LOCI="8", RIBBIT_BENCH_CONTIGS="2",
                # the gate logic under test lives on the small fixture; the
-               # chromosome-scale workload and device bench would add ~10 min
-               RIBBIT_BENCH_CHROM_MB="0", RIBBIT_BENCH_DEVICE="0")
+               # chromosome-scale workload, device bench, and the measured
+               # tpu e2e leg (minutes through a dev tunnel) are all off
+               RIBBIT_BENCH_CHROM_MB="0", RIBBIT_BENCH_DEVICE="0",
+               RIBBIT_BENCH_TPU_E2E="0")
     r = subprocess.run([sys.executable, str(repo / "bench.py")],
                        capture_output=True, text=True, env=env, cwd=repo)
     ok = json.loads(r.stdout.strip().splitlines()[-1])
