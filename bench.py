@@ -212,13 +212,11 @@ def main() -> None:
     tpu_e2e = {}
     chip = False
     if os.environ.get("RIBBIT_BENCH_TPU_E2E", "1") != "0":
-        # check the knob BEFORE touching jax: default_backend() initializes
-        # the platform (minutes of retry loop on a wedged dev tunnel)
-        try:
-            import jax
-            chip = jax.default_backend() in ("tpu", "axon")
-        except Exception:
-            chip = False
+        # check the knob BEFORE touching jax, and time-box the platform
+        # check (a wedged dev tunnel HANGS initialization rather than
+        # raising)
+        from ribbit_tpu.backend import default_backend_or_none
+        chip = default_backend_or_none() in ("tpu", "axon")
     if chip:
         try:
             from ribbit_tpu.backend import LINK_THRESHOLD_MBPS, probe_link_mbps

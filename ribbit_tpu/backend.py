@@ -54,6 +54,32 @@ def _local_accelerator_present() -> bool:
     return bool(glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*"))
 
 
+def default_backend_or_none(timeout_s: float = 30.0):
+    """jax.default_backend() on a daemon thread with a timeout, or None.
+
+    Platform initialization can HANG (not raise) on a wedged remote
+    tunnel; callers that merely want to know whether a chip is reachable
+    must not inherit that hang (round 6: a wedged tunnel froze the
+    device bench's backend guard)."""
+    import queue as _queue
+    import threading
+
+    def work(q):
+        try:
+            import jax
+            q.put(jax.default_backend())
+        except Exception:
+            q.put(None)
+
+    q: _queue.Queue = _queue.Queue(maxsize=1)
+    threading.Thread(target=work, args=(q,), daemon=True,
+                     name="ribbit-backend-check").start()
+    try:
+        return q.get(timeout=timeout_s)
+    except _queue.Empty:
+        return None
+
+
 def probe_link_mbps(nbytes: int = _PROBE_BYTES) -> float:
     """Measured host->device->host roundtrip bandwidth, MB/s.
 

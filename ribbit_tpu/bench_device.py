@@ -264,11 +264,10 @@ def bench_align(B: int = 4096, R: int = 256, C: int = 384,
 
 
 def run_device_bench() -> dict:
-    """Both kernel benches; {} when no TPU is reachable."""
-    try:
-        if jax.default_backend() not in ("tpu", "axon"):
-            return {}
-    except Exception:
+    """Both kernel benches; {} when no TPU is reachable (time-boxed: a
+    wedged tunnel hangs platform init rather than raising)."""
+    from .backend import default_backend_or_none
+    if default_backend_or_none() not in ("tpu", "axon"):
         return {}
     out = {}
     out.update(bench_scan())
