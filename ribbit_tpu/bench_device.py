@@ -264,19 +264,20 @@ def bench_align(B: int = 4096, R: int = 256, C: int = 384,
 
 
 def run_device_bench() -> dict:
-    """Both kernel benches; {} when no TPU is reachable (time-boxed: a
-    wedged tunnel hangs platform init rather than raising)."""
+    """Kernel benches; host-only metrics (the bitmap decode) still run
+    when no TPU is reachable (chip checks are time-boxed: a wedged
+    tunnel hangs platform init rather than raising)."""
     from .backend import default_backend_or_none
-    if default_backend_or_none() not in ("tpu", "axon"):
-        return {}
     out = {}
+    try:
+        out.update(bench_event_decode())      # host-only: always runs
+    except Exception:
+        pass
+    if default_backend_or_none() not in ("tpu", "axon"):
+        return out
     out.update(bench_scan())
     out.update(bench_events())
     out.update(bench_align())
-    try:
-        out.update(bench_event_decode())
-    except Exception:
-        pass
     try:
         from .bench_roofline import roofline_mfu
         out.update(roofline_mfu(out))
