@@ -124,6 +124,16 @@ def main(argv=None) -> int:
 
     from .backend import resolve_backend
     args.backend = resolve_backend(args.backend)
+    if args.backend == "tpu":
+        # explicit tpu: verify the chip actually answers (time-boxed —
+        # a wedged tunnel HANGS platform init rather than raising, which
+        # would freeze the run before any per-contig fallback could fire)
+        from .backend import default_backend_or_none
+        if default_backend_or_none() not in ("tpu", "axon", "cpu"):
+            print("ribbit-tpu: --backend tpu requested but the device "
+                  "platform did not initialize (timed out or failed); "
+                  "falling back to host", file=sys.stderr)
+            args.backend = "host"
 
     # resume manifest must be consulted BEFORE the output file is opened
     # (mode "w" would truncate the partial results being resumed)
