@@ -223,9 +223,13 @@ def main() -> None:
             link = probe_link_mbps()
             tunnel_bound = link < LINK_THRESHOLD_MBPS
             # the production bitmap stream is ~52 B/bp; size the fixture
-            # so the D2H leg stays ~15 s even on a ~1 MB/s dev tunnel
-            tmb = float(os.environ.get(
-                "RIBBIT_BENCH_TPU_MB", "0.13" if tunnel_bound else "8"))
+            # so the D2H leg stays ~15 s at the MEASURED link rate (a dev
+            # tunnel swings 1-6 MB/s between rounds; 0.13 MB was the 1 MB/s
+            # floor, 8 MB assumes a real PCIe/ICI attach)
+            tmb_default = (min(8.0, max(0.13, link * 15.0 / 52.0))
+                           if tunnel_bound else 8.0)
+            tmb = float(os.environ.get("RIBBIT_BENCH_TPU_MB",
+                                       str(tmb_default)))
             tfa = "/tmp/ribbit_bench_tpu.fa"
             tbp = _write_fasta(tfa, (
                 (f"t{ci}",
